@@ -1,0 +1,336 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The operator-coverage query surface (SURVEY.md §2), each over the
+  * driver's TPC-H-ish parquet tables so the DuckDB oracle sees identical
+  * input bytes. Registered in [[graft.SparkEntry]].
+  *
+  * Column names are aliased identically in the Spark plan and the oracle SQL
+  * (the driver's compare sorts columns by name before hashing).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // Spark `queries` and DuckDB `oracle` are built together so they can't
+  // drift: each register() call adds both sides.
+  private val qs = scala.collection.mutable.LinkedHashMap
+    .empty[String, (SparkSession, String) => DataFrame]
+  private val osql = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  private def register(name: String, sql: String)(
+      fn: (SparkSession, String) => DataFrame): Unit = {
+    qs(name) = fn
+    if (sql != null) osql(name) = sql
+  }
+
+  // --- P1: column-whitelist projection (fineweb2_download.py:50) ----------
+  register("q_p1_projection",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // --- F1: single-threshold score filter (filter.py:22) -------------------
+  register("q_f1_score_filter",
+    """SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 450
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .filter(col("n_chars") >= 450)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // --- F2: conjunctive multi-threshold filter (filter_jql.py:27) ----------
+  // three derived scores per order, ALL must clear their thresholds
+  register("q_f2_conjunctive",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice >= 1000.0 AND o_custkey % 7 >= 2
+      |  AND length(o_orderpriority) >= 8
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_totalprice") >= 1000.0 &&
+        col("o_custkey") % 7 >= 2 && length(col("o_orderpriority")) >= 8)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // --- F3: compound predicate (adult.py:8,19) ------------------------------
+  register("q_f3_compound",
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE lang = 'es' AND n_chars >= 300 ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("lang") === "es" && col("n_chars") >= 300)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+  }
+
+  // --- F4: label-validity filter (all_tasks_bert.py:556-566) ---------------
+  register("q_f4_validity",
+    """SELECT count(*) AS n_valid FROM lineitem
+      |WHERE l_linenumber BETWEEN 1 AND 5
+      |  AND l_returnflag IN ('A','R')
+      |  AND l_linestatus IN ('F','O')""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_linenumber").between(1, 5) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_linestatus").isin("F", "O"))
+      .agg(count(lit(1)).as("n_valid"))
+  }
+
+  // --- F5: default-0 threshold via coalesce (topic_format_stats_gen.py:35) -
+  register("q_f5_coalesce_threshold",
+    """SELECT event_id, event_type FROM events
+      |WHERE coalesce(value, 0.0) >= 50.0 ORDER BY event_id""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(coalesce(col("value"), lit(0.0)) >= 50.0)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+  }
+
+  // --- J1: keyed equi join + A8-style match metrics (test.py:18-45) --------
+  register("q_j1_equijoin",
+    """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+      |       round(sum(o.o_totalprice), 2) AS total_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY mktsegment""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    // dimension side is small ⇒ explicit broadcast (no shuffle of orders)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("mktsegment")
+  }
+
+  // --- J2: row_number alignment join (comparison.py:119-131) ---------------
+  register("q_j2_rownumber_align",
+    """WITH a AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
+      |                  o_totalprice FROM orders WHERE o_orderstatus = 'F'),
+      |     b AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
+      |                  o_totalprice FROM orders WHERE o_orderstatus = 'O')
+      |SELECT a.rn AS rn, round(a.o_totalprice - b.o_totalprice, 2) AS price_diff
+      |FROM a JOIN b ON a.rn = b.rn WHERE a.rn <= 100 ORDER BY rn""".stripMargin) {
+    (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("o_orderkey")
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F")
+        .withColumn("rn", row_number().over(w)).select("rn", "o_totalprice")
+      val b = o.filter(col("o_orderstatus") === "O")
+        .withColumn("rn", row_number().over(w)).select("rn", "o_totalprice")
+      a.alias("a").join(b.alias("b"), "rn")
+        .filter(col("rn") <= 100)
+        .select(col("rn"),
+          round(col("a.o_totalprice") - col("b.o_totalprice"), 2).as("price_diff"))
+        .orderBy("rn")
+  }
+
+  // --- J3: anti-membership split (shard_loader.py:8-10,24-42) --------------
+  register("q_j3_anti_membership",
+    """SELECT l_suppkey, count(*) AS n_lines FROM lineitem
+      |WHERE l_suppkey NOT IN (1, 2, 3, 4)
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(!col("l_suppkey").isin(1, 2, 3, 4))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_lines"))
+      .orderBy("l_suppkey")
+  }
+
+  // --- U1: UNION ALL of sources (json_joiner.py:14-22) ----------------------
+  register("q_u1_union_all",
+    """SELECT lang, count(*) AS n FROM (
+      |  SELECT lang FROM documents WHERE source = 'src1'
+      |  UNION ALL
+      |  SELECT lang FROM documents WHERE n_chars < 200
+      |) GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    d.filter(col("source") === "src1").select("lang")
+      .unionByName(d.filter(col("n_chars") < 200).select("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+  }
+
+  // --- U2: INTERSECT disjointness check (shard_loader.py:72-78) ------------
+  register("q_u2_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  // --- A1: group-count by key (full_dataset_analysis/main.py:18-39) --------
+  register("q_a1_group_count",
+    "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang") {
+    (s, dir) =>
+      t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs")).orderBy("lang")
+  }
+
+  // --- A2: score histogram (main.py:19) — fixed-width bins ------------------
+  register("q_a2_histogram",
+    """SELECT cast(floor(value / 10.0) AS bigint) AS bucket, count(*) AS n
+      |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n")).orderBy("bucket")
+  }
+
+  // --- A3: min/max (main.py:52) ---------------------------------------------
+  register("q_a3_minmax",
+    """SELECT round(min(l_extendedprice), 2) AS min_price,
+      |       round(max(l_extendedprice), 2) AS max_price,
+      |       count(*) AS n FROM lineitem""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      round(min("l_extendedprice"), 2).as("min_price"),
+      round(max("l_extendedprice"), 2).as("max_price"),
+      count(lit(1)).as("n"))
+  }
+
+  // --- A5: capped sum / token budget (token_analysis.py:16-21) -------------
+  register("q_a5_capped_sum",
+    """SELECT sum(least(n_chars, 400)) AS capped_chars,
+      |       sum(n_chars) AS total_chars FROM documents""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "documents").agg(
+        sum(least(col("n_chars"), lit(400))).as("capped_chars"),
+        sum("n_chars").as("total_chars"))
+  }
+
+  // --- A7: fraction over threshold (token_count_eda.py:72-76) --------------
+  register("q_a7_frac_over_threshold",
+    """SELECT round(avg(CASE WHEN n_chars >= 400 THEN 1.0 ELSE 0.0 END), 6)
+      |       AS frac_long FROM documents""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").agg(
+      round(avg(when(col("n_chars") >= 400, 1.0).otherwise(0.0)), 6)
+        .as("frac_long"))
+  }
+
+  // --- A8/A9: match rate + RMSE/MAE over a join (test.py:24-45) ------------
+  register("q_a8_a9_match_metrics",
+    """SELECT round(avg(CASE WHEN l.l_returnflag = substr(o.o_orderpriority, 1, 1)
+      |                 THEN 1.0 ELSE 0.0 END), 6) AS match_rate,
+      |       round(sqrt(avg((l.l_quantity - l.l_linenumber) *
+      |                      (l.l_quantity - l.l_linenumber))), 6) AS rmse,
+      |       round(avg(abs(l.l_quantity - l.l_linenumber)), 6) AS mae
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin) {
+    (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .agg(
+          round(avg(when(col("l_returnflag") ===
+            substring(col("o_orderpriority"), 1, 1), 1.0).otherwise(0.0)), 6)
+            .as("match_rate"),
+          round(sqrt(avg((col("l_quantity") - col("l_linenumber")) *
+            (col("l_quantity") - col("l_linenumber")))), 6).as("rmse"),
+          round(avg(abs(col("l_quantity") - col("l_linenumber"))), 6).as("mae"))
+  }
+
+  // --- A10: confusion-matrix counts (comparison.py:136) --------------------
+  register("q_a10_confusion",
+    """SELECT lang, source, count(*) AS n FROM documents
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("n")).orderBy("lang", "source")
+  }
+
+  // --- A11: distribution normalize (ro_vs_eng/main.ipynb cell 4) -----------
+  register("q_a11_normalize",
+    """SELECT lang, round(count(*) * 1.0 /
+      |       (SELECT count(*) FROM documents), 6) AS frac
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"),
+        round(col("cnt") * 1.0 / sum("cnt").over(Window.partitionBy()), 6)
+          .as("frac"))
+      .orderBy("lang")
+  }
+
+  // --- W1: top-k per group (small_model_inference.py:86-93 shape) ----------
+  register("q_w1_topk_per_group",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin) {
+    (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3).orderBy("o_custkey", "rk")
+  }
+
+  // --- W2: argmax per group (inference_dataset.py:130-131) ------------------
+  register("q_w2_argmax",
+    """SELECT lang, min(doc_id) AS argmax_doc FROM documents d
+      |WHERE n_chars = (SELECT max(n_chars) FROM documents d2
+      |                 WHERE d2.lang = d.lang)
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
+      .filter(col("rk") === 1)
+      .groupBy("lang").agg(min("doc_id").as("argmax_doc"))
+      .orderBy("lang")
+  }
+
+  // --- W4/S8: deterministic limit (small_dataset_gen.py:24,58) -------------
+  register("q_w4_limit",
+    """SELECT doc_id, n_chars FROM documents
+      |ORDER BY n_chars DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").select("doc_id", "n_chars")
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(25)
+  }
+
+  // --- X3/X4/X5: round / clip / cast projections (comparison.py:133-134,
+  //     all_tasks_bert.py:347-348) -------------------------------------------
+  register("q_x4_clip_round_cast",
+    """SELECT l_orderkey, l_linenumber,
+      |       cast(least(greatest(round(l_quantity / 10.0), 0), 5) AS int)
+      |         AS clipped_score,
+      |       cast(trunc(l_discount * 10) AS int) AS trunc_disc
+      |FROM lineitem WHERE l_orderkey <= 50
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem").filter(col("l_orderkey") <= 50)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        least(greatest(round(col("l_quantity") / 10.0), lit(0)), lit(5))
+          .cast("int").as("clipped_score"),
+        (col("l_discount") * 10).cast("int").as("trunc_disc"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // --- X9: isdigit guard (big_inference.py:102-103) -------------------------
+  register("q_x9_isdigit",
+    """SELECT p_partkey, regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num
+      |FROM part
+      |WHERE regexp_matches(regexp_extract(p_brand, '([0-9]+)$', 1), '^[0-9]+$')
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_brand"), "([0-9]+)$", 1).as("brand_num"))
+      .filter(col("brand_num").rlike("^[0-9]+$"))
+      .orderBy("p_partkey")
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = qs.toMap
+  def oracle: Map[String, String] = osql.toMap
+}

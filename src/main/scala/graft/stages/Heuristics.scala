@@ -1,0 +1,74 @@
+package graft.stages
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.synth.Corpus
+
+/** N3 — Gopher/C4-style heuristic quality metrics as pure Catalyst columns.
+  *
+  * Stays entirely inside whole-stage codegen (no UDF, no mapPartitions):
+  * higher-order array functions over `split(text)`. Dataflow analogue in the
+  * reference: the learned quality gates consumed by threshold filters
+  * (`small_model_inference/filter.py:22`, `ro_vs_eng/filter_jql.py:27`);
+  * metric definitions follow Gopher (Rae et al. 2021) / C4 (Raffel et al.
+  * 2020) as mandated by the north rule.
+  */
+object Heuristics {
+
+  /** Whitespace tokenization of a text column (empty/blank text → empty
+    * array; `split` leaves empty leading tokens, so filter them out).
+    */
+  def wordsCol(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  def docLenWords(words: Column): Column = size(words)
+
+  def meanWordLen(words: Column): Column =
+    when(size(words) === 0, lit(0.0)).otherwise(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(words))
+
+  /** Symbol characters per word (Gopher's symbol-to-word ratio; symbol set
+    * covers the classic #/…/currency/markup noise).
+    */
+  def symbolWordRatio(text: Column, words: Column): Column =
+    when(size(words) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^#@$%^&*()_+=\\[\\]{}|<>~]", ""))
+        .cast("double") / size(words))
+
+  private val stopwordSet: Column =
+    typedlit(Corpus.roStopwords.toSeq)
+
+  /** Fraction of words that are Romanian stopwords (C4-style natural-text
+    * signal). Comparison is on the lowercased, punctuation-trimmed token.
+    */
+  def stopwordFrac(words: Column): Column =
+    when(size(words) === 0, lit(0.0)).otherwise(
+      size(filter(words, w =>
+        array_contains(stopwordSet,
+          lower(regexp_replace(w, "(?U)^\\W+|\\W+$", "")))
+      )).cast("double") / size(words))
+
+  /** Fraction of non-blank lines that are duplicates of an earlier line. */
+  def dupLineFrac(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+  }
+
+  /** Appends the five heuristic columns to a DataFrame with a `text` column.
+    * One pass over `text`; all expressions codegen.
+    */
+  def withHeuristics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val w = wordsCol(t)
+    df.withColumns(Map(
+      "doc_len_words" -> docLenWords(w),
+      "mean_word_len" -> meanWordLen(w),
+      "symbol_word_ratio" -> symbolWordRatio(t, w),
+      "stopword_frac" -> stopwordFrac(w),
+      "dup_line_frac" -> dupLineFrac(t)
+    ))
+  }
+}

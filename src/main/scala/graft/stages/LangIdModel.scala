@@ -1,0 +1,117 @@
+package graft.stages
+
+import graft.synth.{Corpus, Det}
+
+/** N1 — fastText-style language-ID model: hashed character n-gram (2..4)
+  * features → linear score → sigmoid softmax over {ron, other}.
+  *
+  * The weight vector is a deterministic, quantized constant built from
+  * committed marker lexicons (Romanian diacritics/suffixes/stopwords
+  * positive; English/Hungarian markers negative) — no training run, no I/O,
+  * identical on every JVM (FIXTURES.md §5). It is broadcast by the pipeline
+  * (flat Float array, ~1 MiB at 2^18 buckets) and dereferenced once per
+  * partition inside the batched `mapPartitions` scorer.
+  *
+  * Reference dataflow analogue: upstream fastText `language_score`/
+  * `top_langs` consumption (`fineweb/fineweb2_download.py:21-23`) and the
+  * JQL embed+head scoring shape (`ro_vs_eng/fineweb2_jql.py:13-23`).
+  */
+object LangIdModel extends Serializable {
+  val Bits = 18
+  val NumBuckets: Int = 1 << Bits
+  private val Mask = NumBuckets - 1
+  val MinN = 2
+  val MaxN = 4
+  /** Quantization step for weights — scores become partition-invariant. */
+  private val Q = 1.0f / 64.0f
+  private val HashSalt = 0x9e3779b97f4a7c15L
+
+  /** Romanian marker n-gram sources: diacritics, characteristic suffixes,
+    * function words (padded with spaces so word-boundary grams fire).
+    */
+  private val roMarkers: Array[String] =
+    Array("ă", "â", "î", "ș", "ț", "ul ", "ului ", "ție", "ează", "ește",
+      "ilor ", "ăți", "ână", "știi", " să ", " și ", " în ", " cu ", " la ",
+      " de ", " pe ", " este ", " sunt ", " care ", " pentru ", " din ",
+      " două ", "oară", "esc ", "ică ") ++
+      Corpus.roStopwords.map(w => " " + w + " ")
+
+  private val otherMarkers: Array[String] =
+    Array(" the ", " of ", " and ", " to ", " is ", " that ", " with ",
+      " for ", " this ", " have ", "ing ", "tion ", " th", "wh", " w",
+      "ck", "gh", "sh ", "oo", "ee",
+      " az ", " és ", " hogy ", " nem ", " egy ", " meg ", "gy", "sz",
+      "ö", "ü", "ő", "ű", " el ", " volt ") ++
+      Corpus.enWords.take(40).map(w => " " + w + " ") ++
+      Corpus.huWords.take(25).map(w => " " + w + " ")
+
+  def bucket(s: CharSequence, from: Int, until: Int): Int =
+    (Det.hashString(s, from, until, HashSalt) & Mask).toInt
+
+  private def addNgrams(w: Array[Float], s: String, delta: Float): Unit = {
+    val padded = s
+    var n = MinN
+    while (n <= MaxN) {
+      var i = 0
+      while (i + n <= padded.length) {
+        w(bucket(padded, i, i + n)) += delta
+        i += 1
+      }
+      n += 1
+    }
+  }
+
+  /** The committed quantized weight vector. Built once per JVM. */
+  lazy val weights: Array[Float] = {
+    val w = new Array[Float](NumBuckets)
+    roMarkers.foreach(m => addNgrams(w, m, 1.0f))
+    otherMarkers.foreach(m => addNgrams(w, m, -1.2f))
+    var i = 0
+    while (i < w.length) { w(i) = math.round(w(i) / Q) * Q; i += 1 }
+    w
+  }
+
+  /** Max chars of text scored per doc — bounds cost on pathological pages
+    * (mirrors the reference's context caps, e.g. 2048 tokens at
+    * `ro_vs_eng/inference_dataset.py:124`).
+    */
+  val MaxChars = 4000
+
+  /** Linear score: mean hashed-n-gram weight over the (padded, lowercased)
+    * prefix. Pure per-row Float math in a fixed order ⇒ deterministic.
+    */
+  def rawScore(text: String, w: Array[Float]): Float = {
+    if (text == null || text.isEmpty) return 0.0f
+    val len = math.min(text.length, MaxChars)
+    val sb = new java.lang.StringBuilder(len + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < len) {
+      val c = text.charAt(i)
+      sb.append(if (c == '\n' || c == '\t') ' ' else Character.toLowerCase(c))
+      i += 1
+    }
+    sb.append(' ')
+    var sum = 0.0f
+    var count = 0
+    var n = MinN
+    while (n <= MaxN) {
+      var j = 0
+      while (j + n <= sb.length) {
+        sum += w(bucket(sb, j, j + n))
+        count += 1
+        j += 1
+      }
+      n += 1
+    }
+    if (count == 0) 0.0f else sum / count
+  }
+
+  /** Sigmoid with a fixed gain; conf of the "ron" class. */
+  def confidence(raw: Float): Double = 1.0 / (1.0 + math.exp(-18.0 * raw))
+
+  def predict(text: String, w: Array[Float]): (String, Double) = {
+    val conf = confidence(rawScore(text, w))
+    if (conf >= 0.5) ("ron", conf) else ("other", 1.0 - conf)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.stages
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.synth.SynthPages
+
+/** N1 langid fixtures (FIXTURES.md `langid` family). */
+class LangIdSpec extends AnyFunSuite {
+  private val w = LangIdModel.weights
+
+  test("clear Romanian text is ron with high confidence") {
+    val text = SynthPages.fluentRo(42L, 1L, 120, 6)
+    val (pred, conf) = LangIdModel.predict(text, w)
+    assert(pred == "ron")
+    assert(conf > 0.9)
+  }
+
+  test("clear English text is other") {
+    val text = SynthPages.wordsFrom(graft.synth.Corpus.enWords, 42L, 2L, "en", 120, 6)
+    val (pred, conf) = LangIdModel.predict(text, w)
+    assert(pred == "other")
+    assert(conf > 0.9)
+  }
+
+  test("clear Hungarian text is other") {
+    val text = SynthPages.wordsFrom(graft.synth.Corpus.huWords, 42L, 3L, "hu", 120, 6)
+    val (pred, _) = LangIdModel.predict(text, w)
+    assert(pred == "other")
+  }
+
+  test("empty and very short text never throws") {
+    assert(LangIdModel.predict("", w)._2 >= 0.0)
+    assert(LangIdModel.predict("a", w)._2 >= 0.0)
+    assert(LangIdModel.predict(null, w)._2 >= 0.0)
+  }
+
+  test("prediction ignores the upstream lang tag (scores text only)") {
+    // synthetic pages sometimes carry a wrong tag; langid must classify by
+    // text — English-family pages stay "other" whatever the tag says
+    val misTagged = (0L until 3000L).map(SynthPages.gen(_))
+      .filter(p => SynthPages.familyOf(42L, p.url.substring(
+        p.url.lastIndexOf('/') + 1).toLong) == 1)
+    assert(misTagged.nonEmpty)
+    misTagged.foreach { p =>
+      assert(LangIdModel.predict(p.text, w)._1 == "other", p.text.take(60))
+    }
+  }
+
+  test("weights are quantized (partition-invariance prerequisite)") {
+    assert(w.forall(x => (x * 64.0f) == math.round(x * 64.0f).toFloat))
+  }
+}
