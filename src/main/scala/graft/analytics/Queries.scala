@@ -331,6 +331,260 @@ object Queries {
       .orderBy("p_partkey")
   }
 
+  // --- A4: exact percentile grid (quantiles_fetcher.py:56-65, grid :61) ----
+  register("q_a4_percentile_grid",
+    """SELECT round(quantile_cont(value, 0.905), 6) AS p905,
+      |       round(quantile_cont(value, 0.910), 6) AS p910,
+      |       round(quantile_cont(value, 0.920), 6) AS p920,
+      |       round(quantile_cont(value, 0.930), 6) AS p930,
+      |       round(quantile_cont(value, 0.940), 6) AS p940,
+      |       round(quantile_cont(value, 0.950), 6) AS p950
+      |FROM events""".stripMargin) { (s, dir) =>
+    t(s, dir, "events").agg(
+      round(percentile(col("value"), lit(0.905)), 6).as("p905"),
+      round(percentile(col("value"), lit(0.910)), 6).as("p910"),
+      round(percentile(col("value"), lit(0.920)), 6).as("p920"),
+      round(percentile(col("value"), lit(0.930)), 6).as("p930"),
+      round(percentile(col("value"), lit(0.940)), 6).as("p940"),
+      round(percentile(col("value"), lit(0.950)), 6).as("p950"))
+  }
+
+  // --- A6: mean / exact median (tokenize_fineweb2.py:33-34) ----------------
+  register("q_a6_mean_median",
+    """SELECT round(avg(value), 6) AS mean_value,
+      |       round(median(value), 6) AS median_value FROM events""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "events").agg(
+        round(avg("value"), 6).as("mean_value"),
+        round(median(col("value")), 6).as("median_value"))
+  }
+
+  // --- F6: nested-field predicate (ground.py:49) — JSON props --------------
+  register("q_f6_nested_field",
+    """SELECT event_type, count(*) AS n FROM events
+      |WHERE CAST(json_extract(props, '$.k') AS INT) >= 50
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k"))
+      .filter(col("k") >= 50)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  // --- X7: token counting over text (token_stats.py:11-13) -----------------
+  register("q_x7_token_stats",
+    """SELECT sum(len(string_split(text, ' '))) AS total_tokens,
+      |       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+      |       max(len(string_split(text, ' '))) AS max_tokens
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val nTok = size(split(col("text"), " "))
+    t(s, dir, "documents").agg(
+      sum(nTok).as("total_tokens"),
+      round(avg(nTok), 6).as("avg_tokens"),
+      max(nTok).as("max_tokens"))
+  }
+
+  // --- dedup 1: exact hash-groupBy over a corpus with planted duplicates ---
+  register("q_dedup_exact",
+    """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_id
+      |FROM (SELECT doc_id, text FROM documents
+      |      UNION ALL
+      |      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |      WHERE doc_id % 3 = 0)
+      |GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_md5""".stripMargin) {
+    (s, dir) =>
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.unionByName(
+        d.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.dedup.Dedup.exactDupGroups(planted, "doc_id", "text")
+        .orderBy("text_md5")
+  }
+
+  // --- dedup 2: word-set Jaccard within a bounded group ---------------------
+  register("q_dedup_jaccard_group",
+    """SELECT x.source AS grp, x.doc_id AS id_a, y.doc_id AS id_b,
+      |  round(len(list_intersect(list_distinct(string_split(x.text,' ')),
+      |                           list_distinct(string_split(y.text,' ')))) * 1.0 /
+      |        len(list_distinct(list_concat(list_distinct(string_split(x.text,' ')),
+      |                           list_distinct(string_split(y.text,' '))))), 6)
+      |    AS jaccard
+      |FROM documents x JOIN documents y
+      |  ON x.source = y.source AND x.doc_id < y.doc_id
+      |WHERE len(list_intersect(list_distinct(string_split(x.text,' ')),
+      |                         list_distinct(string_split(y.text,' ')))) * 1.0 /
+      |      len(list_distinct(list_concat(list_distinct(string_split(x.text,' ')),
+      |                         list_distinct(string_split(y.text,' '))))) >= 0.9
+      |ORDER BY grp, id_a, id_b""".stripMargin) { (s, dir) =>
+    val sets = t(s, dir, "documents").select(col("source").as("grp"),
+      col("doc_id"), array_distinct(split(col("text"), " ")).as("sh"))
+    sets.as("x").join(sets.as("y"),
+        col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh"))))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("x.grp").as("grp"), col("x.doc_id").as("id_a"),
+        col("y.doc_id").as("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("grp", "id_a", "id_b")
+  }
+
+  // --- dedup 3: MinHash+LSH near-dups on planted duplicates (not SQL-
+  //     expressible — verified in DedupSpec against a scalar oracle) --------
+  register("q_dedup_minhash_lsh", null) { (s, dir) =>
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val planted = d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    graft.dedup.Dedup.minhashNearDups(planted, "doc_id", "text",
+      minJaccard = 0.9).orderBy("id_a", "id_b")
+  }
+
+  // --- dedup 4: SimHash signatures + fingerprints (expressions; rows-only) -
+  register("q_dedup_simhash_fingerprint", null) { (s, dir) =>
+    import graft.functions.TextFunctions._
+    t(s, dir, "documents")
+      .select(col("doc_id"), simhash64(normTokens(col("text"))).as("simhash"),
+        doc_fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  // --- dedup 5: SimHash near-dups on planted duplicates (rows-only) --------
+  register("q_dedup_simhash_pairs", null) { (s, dir) =>
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val planted = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    graft.dedup.Dedup.simhashNearDups(planted, "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --- similarity 1: brute-force cosine top-k (exact baseline) -------------
+  register("q_ann_cosine_topk",
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)
+      |         AS cosine,
+      |       row_number() OVER (PARTITION BY q.vec_id
+      |         ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+      |                  c.vec_id) AS rk
+      |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |WHERE q.vec_id < 5
+      |QUALIFY rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double")))
+    graft.similarity.Ann.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "vec_id", "embedding", 3)
+      .orderBy("query_id", "rk")
+  }
+
+  // --- similarity 2: LSH-bucketed ANN (scale path; rows-only) --------------
+  register("q_ann_lsh_topk", null) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double")))
+    graft.similarity.Ann.lshTopK(emb.filter(col("vec_id") < 50), emb,
+      "vec_id", "vec_id", "embedding", 3, planes = 6).orderBy("query_id", "rk")
+  }
+
+  // --- similarity 3: embedding near-dup pairs (rows-only; planted dups) ----
+  register("q_ann_near_dups", null) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double")))
+    val planted = emb.select("vec_id", "embedding").unionByName(
+      emb.filter(col("vec_id") % 9 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .select("vec_id", "embedding"))
+    graft.dedup.Dedup.embeddingNearDups(planted, "vec_id", "embedding",
+      minCosine = 0.999).orderBy("id_a", "id_b")
+  }
+
+  // --- text analysis: per-doc quality metrics (C4-ish, oracle-checked) -----
+  register("q_text_quality",
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_words,
+      |       round(n_chars * 1.0 / len(string_split(text, ' ')), 6)
+      |         AS chars_per_word,
+      |       CASE WHEN n_chars >= 200 AND len(string_split(text, ' ')) >= 30
+      |            THEN 1 ELSE 0 END AS quality_ok
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val nWords = size(split(col("text"), " "))
+    t(s, dir, "documents").select(col("doc_id"),
+      nWords.as("n_words"),
+      round(col("n_chars") * 1.0 / nWords, 6).as("chars_per_word"),
+      when(col("n_chars") >= 200 && nWords >= 30, 1).otherwise(0)
+        .as("quality_ok"))
+      .orderBy("doc_id")
+  }
+
+  // --- X1: declarative annotation-field extraction (oracle-checked subset;
+  //     full *-stripping/ERROR parser is the parse_annotation UDF, tested in
+  //     AnnotationsSpec) ----------------------------------------------------
+  register("q_x1_parse_extract",
+    """WITH ann AS (
+      |  SELECT doc_id,
+      |         'Topic: ' || lang || chr(10) ||
+      |         'Valoare educațională: ' || CAST(n_chars % 6 AS VARCHAR)
+      |           AS output FROM documents)
+      |SELECT doc_id,
+      |       regexp_extract(output, 'Topic: ([^\n]*)', 1) AS topic,
+      |       CAST(regexp_extract(output, 'Valoare educațională: ([0-9]+)', 1)
+      |            AS INT) AS int_score
+      |FROM ann ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("output",
+        concat(lit("Topic: "), col("lang"), lit("\n"),
+          lit("Valoare educațională: "), (col("n_chars") % 6).cast("string")))
+      .select(col("doc_id"),
+        regexp_extract(col("output"), "Topic: ([^\n]*)", 1).as("topic"),
+        regexp_extract(col("output"), "Valoare educațională: ([0-9]+)", 1)
+          .cast("int").as("int_score"))
+      .orderBy("doc_id")
+  }
+
+  // --- X1 full parser over constructed noisy outputs (rows-only) -----------
+  register("q_x1_parse_full", null) { (s, dir) =>
+    graft.functions.Annotations.registerSql(s)
+    t(s, dir, "documents")
+      .withColumn("output",
+        concat(lit("** Topic: "), col("lang"), lit("\n"),
+          lit("Subtopic: "), col("source"), lit("\n"),
+          lit("* Valoare educațională: "), (col("n_chars") % 6).cast("string")))
+      .selectExpr("doc_id", "parse_annotation(output) AS ann")
+      .select(col("doc_id"), col("ann.topic"), col("ann.int_score"),
+        col("ann.problem"))
+      .orderBy("doc_id")
+  }
+
+  // --- N5 pipeline over the synthetic page corpus (rows-only; the full
+  //     golden check is PipelineGoldenSpec) ---------------------------------
+  register("q_n5_pipeline_keep", null) { (s, _) =>
+    graft.pipeline.QualityPipeline
+      .annotate(graft.synth.SynthPages.pages(s, 4000L))
+      .groupBy("lang_pred", "keep")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("ppl"), 2).as("avg_ppl"),
+        sum(col("n_emails") + col("n_phones") + col("n_cnps")).as("n_pii"))
+      .orderBy("lang_pred", "keep")
+  }
+
+  // --- multimodal: binary payload metadata + batched feature extraction
+  //     (rows-only; schema/plumbing real, codec stubbed) --------------------
+  register("q_multimodal_media", null) { (s, _) =>
+    import s.implicits._
+    val pages = graft.synth.SynthPages.pages(s, 500L)
+    val feats = graft.multimodal.Multimodal.extractFeatures(
+      pages.map(p => (p.url, p.html)))
+    feats.toDF().groupBy("mime")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
+        round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+      .orderBy("mime")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = qs.toMap
   def oracle: Map[String, String] = osql.toMap
 }

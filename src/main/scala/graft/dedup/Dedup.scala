@@ -1,0 +1,151 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.synth.Det
+
+/** Deduplication operators for the training-data pipeline, each designed so
+  * the candidate-pair set is bounded by bucketing (no all-pairs cross join):
+  *
+  *  - exact: hash-groupBy (one shuffle on the digest)
+  *  - MinHash+LSH: shingle → k minhashes → b bands → bucket self-join →
+  *    exact-Jaccard verification of candidates only
+  *  - SimHash: 64-bit fingerprint → 16-bit band buckets → Hamming ≤ t
+  *  - embedding near-dup: random-hyperplane signs → bucket join → exact
+  *    cosine on candidates (see graft.similarity.Ann for top-k search)
+  *
+  * At 10^12-doc scale every step is shuffle-on-key with AQE-coalesced
+  * partitions; the only quadratic work is within a bucket, which band width
+  * (r) / bucket granularity controls.
+  */
+object Dedup {
+
+  // ---- exact -----------------------------------------------------------
+  /** Exact duplicate groups by content digest; keeper = min(id). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
+      .filter(col("n_dups") > 1)
+
+  /** Exact-dedup survivors: one row per distinct text (the min-id row). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand = NumHashes / Bands // r = 4
+
+  /** Adds `shingles` (hashed word n-grams) and `minhash` (array of
+    * NumHashes longs via the one-pass native expression) columns.
+    * Pure expressions — no shuffle.
+    */
+  def withMinHash(df: DataFrame, textCol: String, shingleN: Int = 3): DataFrame =
+    df.withColumn("shingles",
+        shingle_hashes(normTokens(col(textCol)), shingleN))
+      .withColumn("minhash", minhash_signature(col("shingles"), NumHashes))
+
+  /** LSH band key: hash of the band's r signature values + band index. */
+  private def bandKey(b: Int): Column =
+    xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
+      col("minhash").getItem(b * RowsPerBand + r)): _*)
+
+  /** Candidate near-dup pairs (id_a < id_b) from LSH bucketing, each verified
+    * with exact Jaccard over the shingle sets; `minJaccard` filters the
+    * verified similarity. Shuffles: one per-band explode+groupBy (fused into
+    * a single shuffle on band_key) and the candidate join-back.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val sigs = withMinHash(df, textCol, shingleN)
+      .select(col(idCol).as("id"), col("shingles"), col("minhash"))
+      .filter(size(col("shingles")) > 0)
+
+    val banded = sigs.select(col("id"),
+      explode(array((0 until Bands).map(bandKey): _*)).as("band_key"))
+
+    // pairs sharing any band bucket (distinct to collapse multi-band hits)
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    // verification: exact Jaccard over shingle SETS of the candidates only
+    val sets = sigs.select(col("id"), array_distinct(col("shingles")).as("sh"))
+    pairs
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+  /** SimHash near-dup pairs: 4 × 16-bit band buckets (any doc pair within
+    * Hamming distance ≤ 3 of 64 bits shares at least one exact band), then
+    * exact Hamming verification via bit_count.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash64(normTokens(col(textCol))).as("sim"))
+    val banded = sigs.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
+      ): _*)).as("bk"))
+      .select(col("id"), col("sim"), col("bk.band"), col("bk.bits"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming(col("x.sim"), col("y.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- n-gram Jaccard (direct, bounded scope) -----------------------------
+  /** Exact pairwise word-n-gram Jaccard within a grouping column (e.g. a
+    * pre-bucket like source/host). The group bounds the quadratic work.
+    */
+  def jaccardWithinGroup(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minJaccard: Double, shingleN: Int = 3): DataFrame = {
+    val sets = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      array_distinct(shingle_hashes(normTokens(col(textCol)), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sets.as("x").join(sets.as("y"),
+        col("x.grp") === col("y.grp") && col("x.id") < col("y.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("x.grp").as("grp"), col("x.id").as("id_a"),
+        col("y.id").as("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- embedding cosine near-dup ------------------------------------------
+  /** Near-duplicate embedding pairs: random-hyperplane sign buckets (LSH for
+    * cosine), exact cosine verification within buckets.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
+      minCosine: Double = 0.95, planes: Int = 12, dim: Int = 64): DataFrame = {
+    val sign = graft.similarity.Ann.hyperplaneBucket(col(embCol), planes, dim)
+    val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      sign.as("bucket"))
+    withB.as("x").join(withB.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .withColumn("cosine",
+        graft.similarity.Ann.cosine(col("x.emb"), col("y.emb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.synth.Det
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - brute-force cosine top-k: exact baseline — broadcast the (small) query
+  *    set against the corpus, one scan, per-query top-k window
+  *  - LSH-bucketed top-k: random-hyperplane sign buckets bound the candidate
+  *    set; the scale path for corpus×corpus search (probes the query's
+  *    bucket; recall grows with fewer planes / multi-probe)
+  *
+  * Dot products use `aggregate(zip_with(...))` higher-order functions — pure
+  * codegen'd Catalyst expressions, no UDF.
+  */
+object Ann {
+
+  /** Exact cosine similarity between two array<float/double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Deterministic random hyperplanes (components from splitmix64, ±1). */
+  private[graft] def planeVec(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d =>
+      if ((Det.mix64(p.toLong * 7919L + d * 104729L) & 1L) == 0L) 1.0 else -1.0)
+
+  /** Sign-bit bucket id from `planes` hyperplanes — the cosine-LSH key. */
+  def hyperplaneBucket(emb: Column, planes: Int, dim: Int): Column = {
+    val bits: Seq[Column] = (0 until planes).map { p =>
+      val plane = typedlit(planeVec(p, dim))
+      val dot = aggregate(zip_with(emb, plane, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k cosine neighbors for each query row (brute force baseline).
+    * The query set must be small (it is broadcast); the corpus side streams.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qId).as("query_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's hyperplane
+    * bucket; exact cosine ranks within candidates. Scale path — bucket join
+    * instead of cross join.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+      embCol: String, k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qId).as("query_id"), col(embCol).as("q_emb"),
+      hyperplaneBucket(col(embCol), planes, dim).as("bucket"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"),
+      hyperplaneBucket(col(embCol), planes, dim).as("bucket"))
+    val scored = c.join(q, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextFunctions
+
+/** Dedup operators against scalar oracles on planted fixtures. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds planted duplicate groups, keeper = min id") {
+    val df = docs(1L -> "a b c", 2L -> "x y", 3L -> "a b c", 4L -> "a b c",
+      5L -> "unique text")
+    val groups = Dedup.exactDupGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_dups") == 3)
+    assert(groups(0).getAs[Long]("keeper_id") == 1L)
+    val survivors = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.sameElements(Array(1L, 2L, 5L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val base = "unu doi trei patru cinci șase șapte opt nouă zece " * 5
+    val near = base.replace("cinci", "chiar") // small perturbation
+    val other = "complet diferit text despre altceva cu totul alte cuvinte " * 5
+    val df = docs(1L -> base, 2L -> base, 3L -> near, 4L -> other)
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc matched: $pairs")
+    // exact duplicate verifies at jaccard 1.0
+    val j12 = Dedup.minhashNearDups(df, "doc_id", "text", minJaccard = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").head().getDouble(0)
+    assert(j12 == 1.0)
+  }
+
+  test("verified jaccard matches scalar-set word-3-gram jaccard") {
+    // scalar oracle: word-3-gram set jaccard computed in plain Scala
+    def shingleSet(t: String): Set[Seq[String]] = {
+      val tok = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      tok.sliding(3).toSet
+    }
+    val a = "ana are mere și pere și struguri din grădina bunicii sale"
+    val b = "ana are mere și pere și prune din grădina bunicii sale"
+    val expect = {
+      val (sa, sb) = (shingleSet(a), shingleSet(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    // deterministic path (no LSH recall involved): within-group jaccard
+    val df = docs(1L -> a, 2L -> b).withColumn("grp", lit("g"))
+    val got = Dedup.jaccardWithinGroup(df, "doc_id", "text", "grp",
+      minJaccard = 0.0).select("jaccard").head().getDouble(0)
+    assert(math.abs(got - expect) < 1e-6, s"got $got expect $expect")
+  }
+
+  test("simhash: identical docs hamming 0; perturbed docs near; unrelated far") {
+    import spark.implicits._
+    val base = "unu doi trei patru cinci șase șapte opt nouă zece " * 8
+    val near = base.replaceFirst("cinci", "chiar")
+    val other = "cu totul alte cuvinte despre subiecte complet diferite aici " * 8
+    val sigs = Seq(base, base, near, other).toDF("text")
+      .select(TextFunctions.simhash64(TextFunctions.normTokens(col("text")))
+        .as("s")).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    assert(TextFunctions.hammingDistance(sigs(0), sigs(2)) <= 8)
+    assert(TextFunctions.hammingDistance(sigs(0), sigs(3)) > 12)
+  }
+
+  test("simhashNearDups bucket join finds planted pairs") {
+    val base = "unu doi trei patru cinci șase șapte opt nouă zece " * 8
+    val df = docs(1L -> base, 2L -> base, 3L -> ("x " + base))
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("doc_fingerprint is reflow-stable and content-sensitive") {
+    import spark.implicits._
+    val fps = Seq("Ana are  mere", "ana\nare mere", "ana are pere")
+      .toDF("text")
+      .select(TextFunctions.doc_fingerprint(col("text"))).collect()
+      .map(_.getLong(0))
+    assert(fps(0) == fps(1)) // whitespace reflow + case don't matter
+    assert(fps(0) != fps(2)) // content does
+  }
+
+  test("embedding near-dups finds planted duplicate vectors") {
+    import spark.implicits._
+    val v1 = Array.tabulate(8)(i => 0.1 * (i + 1))
+    val v2 = v1.clone()
+    val v3 = Array.tabulate(8)(i => if (i == 0) 1.0 else -0.3 * i)
+    val df = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+      minCosine = 0.999, planes = 6, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
