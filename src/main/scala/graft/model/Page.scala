@@ -44,7 +44,6 @@ final case class AnnotatedPage(
     url: String,
     warc_ts: Timestamp,
     crawl_snapshot: String,
-    text: String,
     lang: String,
     // N1 langid
     lang_pred: String,

@@ -5,27 +5,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
 import graft.model.{AnnotatedPage, Page, Thresholds}
-import graft.stages.{Heuristics, LangIdModel, PerplexityModel, Scrub}
+import graft.stages.{HeuristicsScalar, LangIdModel, PerplexityModel, ScrubScalar}
 
-/** Row shape between the codegen'd heuristic/scrub stages and the batched
-  * scorer (matched by name in `.as[...]`).
+/** Row shape entering the batched scorer (matched by name in `.as[...]`).
+  * Heuristics, scrub and scoring all happen in ONE `mapPartitions` pass:
+  * the Column equivalents exist ([[graft.stages.Heuristics]],
+  * [[graft.stages.Scrub]], cross-validated by parity specs) but Catalyst
+  * higher-order functions are CodegenFallback (interpreted, one re-tokenize
+  * per metric) and every regexp expression re-materializes the UTF8String —
+  * the fused scalar pass touches the text a minimal number of times.
   */
-final case class ScrubbedRow(
+final case class PipeRow(
     url: String,
     warc_ts: java.sql.Timestamp,
     crawl_snapshot: String,
     text: String,
-    lang: String,
-    doc_len_words: Int,
-    mean_word_len: Double,
-    symbol_word_ratio: Double,
-    stopword_frac: Double,
-    dup_line_frac: Double,
-    n_emails: Int,
-    n_phones: Int,
-    n_cnps: Int,
-    n_slurs: Int,
-    scrubbed_text: String
+    lang: String
 )
 
 /** C5 — per-stage metric accumulators (reference analogue: per-shard
@@ -84,34 +79,34 @@ object QualityPipeline {
     // column-prune early: html (the heavy binary) never leaves the scan
     val projected = pages.toDF.select(
       col("url"), col("warc_ts"), snapshotCol(col("warc_ts")).as("crawl_snapshot"),
-      col("text"), col("lang"))
-    val scrubbed = Scrub.withScrub(Heuristics.withHeuristics(projected))
-      .as[ScrubbedRow]
+      col("text"), col("lang")).as[PipeRow]
 
     val bLangW = spark.sparkContext.broadcast(LangIdModel.weights)
     val bLm = spark.sparkContext.broadcast(PerplexityModel.default)
 
-    scrubbed.mapPartitions { iter =>
+    projected.mapPartitions { iter =>
       val w = bLangW.value // one deref per partition
       val lm = bLm.value
       iter.grouped(64).flatMap { batch =>
         batch.map { r =>
+          val s = ScrubScalar(r.text) // compiled-regex scrub, guarded
+          val h = HeuristicsScalar.compute(r.text) // one pass, all 5 metrics
           val (pred, conf) = LangIdModel.predict(r.text, w)
           val ronConf = if (pred == "ron") conf else 1.0 - conf
           val ppl = lm.perplexity(r.text)
-          val keep = decide(th, pred, ronConf, ppl, r.doc_len_words,
-            r.mean_word_len, r.symbol_word_ratio, r.stopword_frac,
-            r.dup_line_frac, r.n_slurs)
+          val keep = decide(th, pred, ronConf, ppl, h.docLenWords,
+            h.meanWordLen, h.symbolWordRatio, h.stopwordFrac,
+            h.dupLineFrac, s.nSlurs)
           metrics.foreach { m =>
             m.docsIn.add(1)
             if (keep) m.docsKept.add(1)
-            if (r.n_emails + r.n_phones + r.n_cnps > 0) m.docsPii.add(1)
-            if (r.n_slurs > 0) m.docsToxic.add(1)
+            if (s.nEmails + s.nPhones + s.nCnps > 0) m.docsPii.add(1)
+            if (s.nSlurs > 0) m.docsToxic.add(1)
           }
-          AnnotatedPage(r.url, r.warc_ts, r.crawl_snapshot, r.text, r.lang,
-            pred, ronConf, ppl, r.doc_len_words, r.mean_word_len,
-            r.symbol_word_ratio, r.stopword_frac, r.dup_line_frac,
-            r.scrubbed_text, r.n_emails, r.n_phones, r.n_cnps, r.n_slurs,
+          AnnotatedPage(r.url, r.warc_ts, r.crawl_snapshot, r.lang,
+            pred, ronConf, ppl, h.docLenWords, h.meanWordLen,
+            h.symbolWordRatio, h.stopwordFrac, h.dupLineFrac,
+            s.scrubbed, s.nEmails, s.nPhones, s.nCnps, s.nSlurs,
             keep)
         }
       }
