@@ -585,6 +585,40 @@ object Queries {
       .orderBy("mime")
   }
 
+  // --- W1: per-row top-k over an array column (small_model_inference.py:
+  //     86-93 — torch.topk(probs, 3) per doc; no shuffle) --------------------
+  register("q_w1_row_topk",
+    """SELECT vec_id,
+      |  round(list_reverse_sort(CAST(embedding AS DOUBLE[]))[1], 6) AS t1,
+      |  round(list_reverse_sort(CAST(embedding AS DOUBLE[]))[2], 6) AS t2,
+      |  round(list_reverse_sort(CAST(embedding AS DOUBLE[]))[3], 6) AS t3
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val sorted = reverse(array_sort(
+      transform(col("embedding"), x => x.cast("double"))))
+    t(s, dir, "embeddings").select(col("vec_id"),
+      round(element_at(sorted, 1), 6).as("t1"),
+      round(element_at(sorted, 2), 6).as("t2"),
+      round(element_at(sorted, 3), 6).as("t3"))
+      .orderBy("vec_id")
+  }
+
+  // --- X8: per-row softmax via higher-order functions (small_model_
+  //     inference.py:70-72) --------------------------------------------------
+  register("q_x8_softmax",
+    """SELECT vec_id,
+      |  round(exp(embedding[1] - list_max(CAST(embedding AS DOUBLE[]))) /
+      |    list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> exp(x - list_max(CAST(embedding AS DOUBLE[]))))), 6) AS p0
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    val m = array_max(emb)
+    val denom = aggregate(transform(emb, x => exp(x - m)),
+      lit(0.0), (acc, v) => acc + v)
+    t(s, dir, "embeddings").select(col("vec_id"),
+      round(exp(element_at(emb, 1) - m) / denom, 6).as("p0"))
+      .orderBy("vec_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = qs.toMap
   def oracle: Map[String, String] = osql.toMap
 }
