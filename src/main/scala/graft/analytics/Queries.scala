@@ -619,6 +619,21 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  // --- A1 one-shuffle variant: GROUPING SETS over both keys (SURVEY §2.4
+  //     note — the reference's three parallel key-counts in one pass) -------
+  register("q_a1_grouping_sets",
+    """SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS source_g,
+      |       count(*) AS n
+      |FROM documents GROUP BY GROUPING SETS ((lang), (source))
+      |ORDER BY lang_g, source_g""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").createOrReplaceTempView("documents_gs")
+    s.sql(
+      """SELECT coalesce(lang, 'ALL') AS lang_g,
+        |       coalesce(source, 'ALL') AS source_g, count(*) AS n
+        |FROM documents_gs GROUP BY GROUPING SETS ((lang), (source))
+        |ORDER BY lang_g, source_g""".stripMargin)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = qs.toMap
   def oracle: Map[String, String] = osql.toMap
 }
