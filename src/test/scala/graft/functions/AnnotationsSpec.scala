@@ -80,6 +80,19 @@ class AnnotationsSpec extends AnyFunSuite {
     assert(out2.topic == Error && out2.problem)
   }
 
+  test("parser is total: never throws, always yields all 6 fields") {
+    // property loop over synthetic corpus texts + adversarial mutations
+    (0L until 500L).foreach { id =>
+      val t = graft.synth.SynthPages.gen(id).text
+      Seq(t, "*" + t, t + ":", ":" + t, t.replace(' ', ':'), "***\n::\n*:*")
+        .foreach { s =>
+          val a = parse(s)
+          assert(a.topic != null && a.subtopic != null && a.format != null &&
+            a.age_group != null && a.int_score != null && a.explanation != null)
+        }
+    }
+  }
+
   test("taxonomy enums round-trip through the id maps") {
     import graft.model.Taxonomy
     assert(Taxonomy.topics.length == 24)

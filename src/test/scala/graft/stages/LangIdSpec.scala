@@ -28,6 +28,16 @@ class LangIdSpec extends AnyFunSuite {
     assert(pred == "other")
   }
 
+  test("diacritic-stripped Romanian still classifies as ron") {
+    // FIXTURES.md langid family: web text often loses diacritics; the
+    // ASCII stopword/suffix markers must carry the classification
+    val stripped = "scoala si universitatea din orasul nostru sunt pentru " +
+      "toti copiii care vor sa invete carte si stiinta in fiecare zi de la " +
+      "profesori buni"
+    val (pred, conf) = LangIdModel.predict(stripped, w)
+    assert(pred == "ron" && conf > 0.9)
+  }
+
   test("empty and very short text never throws") {
     assert(LangIdModel.predict("", w)._2 >= 0.0)
     assert(LangIdModel.predict("a", w)._2 >= 0.0)
