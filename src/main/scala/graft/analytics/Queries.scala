@@ -405,24 +405,31 @@ object Queries {
   }
 
   // --- dedup 2: word-set Jaccard within a bounded group ---------------------
+  // size-ratio pruning on both engines: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+  // so J ≥ 0.9 requires the set sizes to be within 10% — checked BEFORE the
+  // expensive intersect/union (standard similarity-join prefix/size filter)
   register("q_dedup_jaccard_group",
-    """SELECT x.source AS grp, x.doc_id AS id_a, y.doc_id AS id_b,
-      |  round(len(list_intersect(list_distinct(string_split(x.text,' ')),
-      |                           list_distinct(string_split(y.text,' ')))) * 1.0 /
-      |        len(list_distinct(list_concat(list_distinct(string_split(x.text,' ')),
-      |                           list_distinct(string_split(y.text,' '))))), 6)
-      |    AS jaccard
-      |FROM documents x JOIN documents y
-      |  ON x.source = y.source AND x.doc_id < y.doc_id
-      |WHERE len(list_intersect(list_distinct(string_split(x.text,' ')),
-      |                         list_distinct(string_split(y.text,' ')))) * 1.0 /
-      |      len(list_distinct(list_concat(list_distinct(string_split(x.text,' ')),
-      |                         list_distinct(string_split(y.text,' '))))) >= 0.9
+    """WITH sets AS (
+      |  SELECT source AS grp, doc_id,
+      |         list_distinct(string_split(text, ' ')) AS sh
+      |  FROM documents)
+      |SELECT x.grp AS grp, x.doc_id AS id_a, y.doc_id AS id_b,
+      |  round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+      |        len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+      |FROM sets x JOIN sets y
+      |  ON x.grp = y.grp AND x.doc_id < y.doc_id
+      | AND len(x.sh) >= 0.9 * len(y.sh) AND len(y.sh) >= 0.9 * len(x.sh)
+      |WHERE len(list_intersect(x.sh, y.sh)) * 1.0 /
+      |      len(list_distinct(list_concat(x.sh, y.sh))) >= 0.9
       |ORDER BY grp, id_a, id_b""".stripMargin) { (s, dir) =>
     val sets = t(s, dir, "documents").select(col("source").as("grp"),
       col("doc_id"), array_distinct(split(col("text"), " ")).as("sh"))
+    val sizeOk =
+      size(col("x.sh")).cast("double") >= lit(0.9) * size(col("y.sh")) &&
+      size(col("y.sh")).cast("double") >= lit(0.9) * size(col("x.sh"))
     sets.as("x").join(sets.as("y"),
-        col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id"))
+        col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id") &&
+          sizeOk)
       .withColumn("jaccard",
         size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
           size(array_union(col("x.sh"), col("y.sh"))))

@@ -121,8 +121,14 @@ object Dedup {
     val sets = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
       array_distinct(shingle_hashes(normTokens(col(textCol)), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
+    // size-ratio pruning (similarity-join standard): J(A,B) ≤ min/max of the
+    // set sizes, so J ≥ t requires min ≥ t·max — evaluated in the join
+    // condition before the expensive intersect/union
+    val sizeOk =
+      size(col("x.sh")).cast("double") >= lit(minJaccard) * size(col("y.sh")) &&
+      size(col("y.sh")).cast("double") >= lit(minJaccard) * size(col("x.sh"))
     sets.as("x").join(sets.as("y"),
-        col("x.grp") === col("y.grp") && col("x.id") < col("y.id"))
+        col("x.grp") === col("y.grp") && col("x.id") < col("y.id") && sizeOk)
       .withColumn("jaccard",
         size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
           size(array_union(col("x.sh"), col("y.sh"))))
