@@ -200,9 +200,12 @@ object Queries {
   }
 
   // --- A5: capped sum / token budget (token_analysis.py:16-21) -------------
+  // DuckDB sum(INTEGER/BIGINT) returns HUGEINT, which pandas renders as
+  // float64 and breaks the driver's value hash — CAST every integer sum
+  // back to BIGINT in the oracle SQL (Spark's sum(long) is already long).
   register("q_a5_capped_sum",
-    """SELECT sum(least(n_chars, 400)) AS capped_chars,
-      |       sum(n_chars) AS total_chars FROM documents""".stripMargin) {
+    """SELECT CAST(sum(least(n_chars, 400)) AS BIGINT) AS capped_chars,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents""".stripMargin) {
     (s, dir) =>
       t(s, dir, "documents").agg(
         sum(least(col("n_chars"), lit(400))).as("capped_chars"),
@@ -245,6 +248,23 @@ object Queries {
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
     t(s, dir, "documents").groupBy("lang", "source")
       .agg(count(lit(1)).as("n")).orderBy("lang", "source")
+  }
+
+  // --- A10 wide form: label×pred pivoted confusion matrix (comparison.py:136,
+  //     results.ipynb cells 6-11) — groupBy(label).pivot(pred).count() --------
+  private val pivotSources: Seq[String] = (0 until 20).map(i => s"src$i")
+  register("q_a10_confusion_pivot",
+    s"""SELECT lang,
+       |${pivotSources.map(s =>
+            s"  count(*) FILTER (WHERE source = '$s') AS $s").mkString(",\n")}
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val pivoted = t(s, dir, "documents")
+      .groupBy("lang").pivot("source", pivotSources).count()
+    // Spark pivot yields NULL for absent (label, pred) cells; the oracle's
+    // FILTER count yields 0 — normalize to 0
+    pivoted.select(col("lang") +:
+      pivotSources.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy("lang")
   }
 
   // --- A11: distribution normalize (ro_vs_eng/main.ipynb cell 4) -----------
@@ -376,7 +396,7 @@ object Queries {
 
   // --- X7: token counting over text (token_stats.py:11-13) -----------------
   register("q_x7_token_stats",
-    """SELECT sum(len(string_split(text, ' '))) AS total_tokens,
+    """SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
       |       max(len(string_split(text, ' '))) AS max_tokens
       |FROM documents""".stripMargin) { (s, dir) =>

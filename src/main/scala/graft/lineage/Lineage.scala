@@ -70,7 +70,8 @@ object ResumableRunner {
       numChunks: Int = 16,
       waveSize: Int = 4,
       th: Thresholds = Thresholds.default,
-      failAfterWaves: Option[Int] = None): Seq[Int] = {
+      failAfterWaves: Option[Int] = None,
+      metrics: Option[graft.pipeline.PipelineMetrics] = None): Seq[Int] = {
     val spark = pages.sparkSession
     val store = new LineageStore(spark, lineageDir)
 
@@ -80,9 +81,12 @@ object ResumableRunner {
     val done = store.completedChunks(runId)
     val remaining = (0 until numChunks).filterNot(done)
 
-    val annotated = QualityPipeline.annotate(pages, th)
-      .withColumn("chunk_id",
-        pmod(xxhash64(col("url")), lit(numChunks)).cast("int"))
+    // chunk_id is a pure function of url, so the wave filter is applied to
+    // the RAW pages, BELOW annotate: each wave scores only its own chunks
+    // (scoring the full corpus per wave would be O(waves × corpus) — the
+    // 100 TB killer). On a real Iceberg deployment chunk_id is the physical
+    // partition and this filter prunes files instead of rows.
+    def chunkId = pmod(xxhash64(col("url")), lit(numChunks)).cast("int")
 
     val processed = scala.collection.mutable.ArrayBuffer.empty[Int]
     remaining.grouped(waveSize).zipWithIndex.foreach { case (wave, waveIdx) =>
@@ -90,22 +94,31 @@ object ResumableRunner {
         if (waveIdx >= k) throw new SimulatedFailure(
           s"injected failure before wave $waveIdx (processed ${processed.size} chunks)")
       }
+      val wavePages = pages.filter(chunkId.isin(wave: _*))
       // idempotent per-chunk overwrite: re-running a chunk replaces exactly
       // its own partition directories, never duplicates
-      annotated.filter(col("chunk_id").isin(wave: _*))
+      QualityPipeline.annotate(wavePages, th, metrics)
+        .withColumn("chunk_id", chunkId)
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("chunk_id")
         .parquet(outDir)
-      // metrics read back from the written chunk (column-pruned scan of the
-      // decision column only — validates the write and feeds C5 metrics)
-      val counts = spark.read.parquet(outDir)
-        .filter(col("chunk_id").isin(wave: _*))
-        .groupBy("chunk_id")
-        .agg(count(lit(1)).as("docs_in"),
-          sum(col("keep").cast("long")).as("docs_kept"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // metrics read back from exactly the wave's partition directories
+      // (reading the whole output tree would be O(waves²) I/O over a run);
+      // basePath keeps the chunk_id partition column in scope. An empty
+      // chunk writes no directory — skip missing paths.
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val wavePaths = wave.map(c => s"$outDir/chunk_id=$c")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      val counts =
+        if (wavePaths.isEmpty) Map.empty[Int, (Long, Long)]
+        else spark.read.option("basePath", outDir).parquet(wavePaths: _*)
+          .groupBy("chunk_id")
+          .agg(count(lit(1)).as("docs_in"),
+            sum(col("keep").cast("long")).as("docs_kept"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       val now = System.currentTimeMillis()
       store.append(wave.map { c =>
         val (in, kept) = counts.getOrElse(c, (0L, 0L))

@@ -26,6 +26,13 @@ final case class PipeRow(
 /** C5 — per-stage metric accumulators (reference analogue: per-shard
   * progress prints, `fineweb/big_inference.py:228-232`); checkpointed into
   * the lineage table by `graft.lineage.Lineage`.
+  *
+  * SEMANTICS: the accumulators are updated inside a `mapPartitions`
+  * TRANSFORMATION, so Spark guarantees only at-least-once counting — task
+  * retries, speculative execution, or running two actions over the same
+  * annotated Dataset inflate the counts. They are progress telemetry, not
+  * ledger numbers; the authoritative per-chunk counts are derived from the
+  * written output (see [[graft.lineage.ResumableRunner]]).
   */
 final class PipelineMetrics(spark: SparkSession) extends Serializable {
   val docsIn: LongAccumulator = spark.sparkContext.longAccumulator("graft.docsIn")
@@ -48,10 +55,14 @@ object QualityPipeline {
 
   /** Crawl-snapshot label derived from warc_ts (partition key; the
     * reference's natural partition key is the `dump` snapshot name,
-    * `fineweb/fineweb2_download.py:19`).
+    * `fineweb/fineweb2_download.py:19`). Uses the ISO week-YEAR (not the
+    * calendar year) so the pair is consistent at year boundaries: Jan 1-3
+    * of week 52/53 labels into the OLD year's snapshot, late-Dec dates in
+    * week 1 into the NEW year's — never a mixed `2024-53`/`2023-01` label.
     */
   def snapshotCol(warcTs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    format_string("CC-MAIN-%d-%02d", year(warcTs), weekofyear(warcTs))
+    format_string("CC-MAIN-%d-%02d",
+      date_part(lit("YEAROFWEEK"), warcTs), weekofyear(warcTs))
 
   /** Pure-scala keep decision — shared by the distributed scorer and the
     * scalar golden-label generator so decision semantics live in ONE place.

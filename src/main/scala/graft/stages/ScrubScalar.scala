@@ -18,6 +18,14 @@ object ScrubScalar {
   final case class Result(
       scrubbed: String, nEmails: Int, nPhones: Int, nCnps: Int, nSlurs: Int)
 
+  // The fast-path slur guard below scans for the literal "ule"; it is only
+  // sound while every lexicon entry contains that substring (Romanian
+  // vocative). Fail loudly at class-init if the lexicon ever diverges,
+  // instead of silently skipping slurs the Column version still counts.
+  require(graft.synth.Corpus.toxicLexicon.forall(_.toLowerCase.contains("ule")),
+    "ScrubScalar slur guard assumes every toxicLexicon entry contains 'ule'; " +
+      "update containsUleIgnoreCase before extending the lexicon")
+
   private val emailP = Pattern.compile(Scrub.emailRe)
   private val phoneP = Pattern.compile(Scrub.phoneRe)
   private val slurP = Pattern.compile(Scrub.slurRe)

@@ -52,6 +52,36 @@ class LineageSpec extends AnyFunSuite {
     assert(out.length == 1200 && out.sameElements(golden))
   }
 
+  test("each wave scores ONLY its own chunks (no per-wave full-corpus rescan)") {
+    val base = Files.createTempDirectory("graft_lineage3").toString
+    val nDocs = 800L
+    val pages = SynthPages.pages(spark, nDocs)
+
+    // full run over 4 waves: every doc must be scored exactly once in total —
+    // the old shape (annotate before the chunk filter) scored nDocs × waves
+    val m1 = new graft.pipeline.PipelineMetrics(spark)
+    ResumableRunner.run(pages, s"$base/out", s"$base/lin", "scan1",
+      numChunks = 8, waveSize = 2, metrics = Some(m1))
+    assert(m1.docsIn.value == nDocs,
+      s"scored ${m1.docsIn.value} docs across waves, expected $nDocs (one pass)")
+
+    // resume after 1 completed wave: only the REMAINING chunks' docs are
+    // scored, not the whole corpus again
+    val base2 = Files.createTempDirectory("graft_lineage4").toString
+    intercept[SimulatedFailure] {
+      ResumableRunner.run(pages, s"$base2/out", s"$base2/lin", "scan2",
+        numChunks = 8, waveSize = 2, failAfterWaves = Some(1))
+    }
+    val store = new LineageStore(spark, s"$base2/lin")
+    val doneDocs = store.all().collect()
+      .filter(_.run_id == "scan2").map(_.docs_in).sum
+    val m2 = new graft.pipeline.PipelineMetrics(spark)
+    ResumableRunner.run(pages, s"$base2/out", s"$base2/lin", "scan2",
+      numChunks = 8, waveSize = 2, metrics = Some(m2))
+    assert(m2.docsIn.value == nDocs - doneDocs,
+      s"resume scored ${m2.docsIn.value}, expected ${nDocs - doneDocs}")
+  }
+
   test("metrics in lineage match the pipeline decisions") {
     val base = Files.createTempDirectory("graft_lineage2").toString
     val pages = SynthPages.pages(spark, 600L)
