@@ -661,6 +661,129 @@ object Queries {
         |ORDER BY lang_g, source_g""".stripMargin)
   }
 
+  // --- A4∘F1 composition: percentile grid → pick 92nd → threshold filter ---
+  // (quantiles_fetcher.py:56-65 grid; run.sh:4-6 picks the 92nd; the derived
+  // threshold feeds filter_jql.py:27). One plan: grid agg → broadcast 1-row
+  // threshold → filter; the corpus is never collected.
+  register("q_pct_threshold_filter",
+    """WITH th AS (SELECT quantile_cont(value, 0.92) AS threshold FROM events)
+      |SELECT round((SELECT threshold FROM th), 6) AS threshold,
+      |       count(*) AS n_kept,
+      |       round(avg(value), 6) AS avg_kept,
+      |       round(min(value), 6) AS min_kept
+      |FROM events WHERE value >= (SELECT threshold FROM th)""".stripMargin) {
+    (s, dir) =>
+      DerivedThresholds.filterByDerivedPercentile(
+          t(s, dir, "events"), "value", DerivedThresholds.ReferenceGrid, 0.92)
+        .agg(round(first(col("threshold")), 6).as("threshold"),
+          count(lit(1)).as("n_kept"),
+          round(avg("value"), 6).as("avg_kept"),
+          round(min("value"), 6).as("min_kept"))
+  }
+
+  // --- small-model record schema (c): per-task top-3 (class, prob) ---------
+  // (small_model_inference.py:77-93). Split across three queries:
+  //  1. q_smallmodel_topk — the softmax→top-3→columns EXTRACTION, oracle-
+  //     checked: logits are a deterministic SQL-expressible function of
+  //     doc_id so DuckDB reproduces them, labels are the REAL age_group
+  //     taxonomy, and both engines run softmax + (prob desc, idx) top-3.
+  private def ageLabelsSqlList: String =
+    graft.model.Taxonomy.ageGroups.map(l => s"'$l'").mkString("[", ",", "]")
+  register("q_smallmodel_topk",
+    s"""WITH e AS (
+       |  SELECT doc_id, CAST(i AS INT) AS i,
+       |         ((doc_id * 31 + i * 17) % 97) / 10.0 AS logit
+       |  FROM documents, range(6) t(i)),
+       |m AS (
+       |  SELECT doc_id, i,
+       |         exp(logit - max(logit) OVER (PARTITION BY doc_id)) AS u
+       |  FROM e),
+       |p AS (
+       |  SELECT doc_id, i, u / sum(u) OVER (PARTITION BY doc_id) AS prob
+       |  FROM m),
+       |r AS (
+       |  SELECT doc_id, i, prob,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY prob DESC, i) AS rk
+       |  FROM p)
+       |SELECT doc_id,
+       |${(1 to 3).map(j =>
+           s"""  max(CASE WHEN rk=$j THEN $ageLabelsSqlList[i+1] END)
+              |    AS age_group_class_$j,
+              |  round(max(CASE WHEN rk=$j THEN prob END), 6)
+              |    AS age_group_prob_$j""".stripMargin).mkString(",\n")}
+       |FROM r WHERE rk <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      import graft.functions.TopK
+      val logits = transform(sequence(lit(0), lit(5)),
+        i => ((col("doc_id") * 31 + i * 17) % 97) / 10.0)
+      t(s, dir, "documents")
+        .select(col("doc_id") +:
+          TopK.topKClassColumns(TopK.softmaxArr(logits),
+            graft.model.Taxonomy.ageGroups, 3, "age_group"): _*)
+        .orderBy("doc_id")
+  }
+
+  //  2. q_f4_taxonomy — the validity filter on the REAL closed taxonomies
+  //     (training/all_tasks_bert.py:556-566): label ∈ taxonomy for all three
+  //     tasks AND 0 ≤ int_score ≤ 5, over annotation-shaped rows with
+  //     planted invalid labels/scores.
+  register("q_f4_taxonomy", {
+    val tx = graft.model.Taxonomy
+    def lst(xs: Seq[String]) = xs.map(l => s"'$l'").mkString("[", ",", "]")
+    def inList(xs: Seq[String]) = xs.map(l => s"'$l'").mkString("(", ",", ")")
+    s"""WITH ann AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN 'INVALID_TOPIC'
+       |         ELSE ${lst(tx.topics)}[CAST(doc_id % 24 AS INT) + 1] END AS topic,
+       |    CASE WHEN doc_id % 13 = 0 THEN 'Eseu'
+       |         ELSE ${lst(tx.formats)}[CAST(doc_id % 24 AS INT) + 1] END AS format,
+       |    CASE WHEN doc_id % 17 = 0 THEN 'Adult'
+       |         ELSE ${lst(tx.ageGroups)}[CAST(doc_id % 6 AS INT) + 1] END AS age_group,
+       |    CAST(n_chars % 8 AS INT) - 1 AS int_score
+       |  FROM documents)
+       |SELECT doc_id, topic, format, age_group, int_score FROM ann
+       |WHERE topic IN ${inList(tx.topics)}
+       |  AND format IN ${inList(tx.formats)}
+       |  AND age_group IN ${inList(tx.ageGroups)}
+       |  AND int_score BETWEEN 0 AND 5
+       |ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val tx = graft.model.Taxonomy
+    def pick(xs: Seq[String], m: Int) =
+      element_at(typedlit(xs), (col("doc_id") % m).cast("int") + 1)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, "INVALID_TOPIC")
+          .otherwise(pick(tx.topics, 24)).as("topic"),
+        when(col("doc_id") % 13 === 0, "Eseu")
+          .otherwise(pick(tx.formats, 24)).as("format"),
+        when(col("doc_id") % 17 === 0, "Adult")
+          .otherwise(pick(tx.ageGroups, 6)).as("age_group"),
+        ((col("n_chars") % 8).cast("int") - 1).as("int_score"))
+      .filter(col("topic").isin(tx.topics: _*) &&
+        col("format").isin(tx.formats: _*) &&
+        col("age_group").isin(tx.ageGroups: _*) &&
+        col("int_score").between(0, 5))
+      .orderBy("doc_id")
+  }
+
+  //  3. q_smallmodel_records — the REAL deterministic multi-task scorer
+  //     (hashed-ngram heads, batched mapPartitions inference) emitting the
+  //     full record schema; not SQL-expressible → golden-fixture pinned
+  //     (TaskScorerSpec) and rows-only here.
+  register("q_smallmodel_records", null) { (s, dir) =>
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val rec = graft.stages.TaskScorer.annotateRecords(docs).toDF()
+    val probCols = rec.columns.filter(c => c.contains("_prob_") || c == "score")
+    rec.select(rec.columns.map {
+      case c if probCols.contains(c) => round(col(c), 6).as(c)
+      case c => col(c)
+    }.toSeq: _*).orderBy("doc_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = qs.toMap
   def oracle: Map[String, String] = osql.toMap
 }
