@@ -599,16 +599,24 @@ object Queries {
       .orderBy("lang_pred", "keep")
   }
 
-  // --- multimodal: binary payload metadata + batched feature extraction
-  //     (rows-only; schema/plumbing real, codec stubbed) --------------------
+  // --- multimodal: binary payload metadata + batched feature extraction.
+  //     Images (every 3rd doc carries a synthetic PNG) decode FOR REAL via
+  //     javax.imageio → width/height/channel stats; other mimes fall back to
+  //     the labeled stub (rows-only; fixture-pinned in MultimodalSpec) ------
   register("q_multimodal_media", null) { (s, _) =>
     import s.implicits._
     val pages = graft.synth.SynthPages.pages(s, 500L)
     val feats = graft.multimodal.Multimodal.extractFeatures(
-      pages.map(p => (p.url, p.html)))
+      pages.map(p =>
+        (p.url,
+          if (p.url.hashCode % 3 == 0) graft.multimodal.Multimodal.synthPng(
+            p.url.length.toLong * 2654435761L + p.url.hashCode)
+          else p.html)))
     feats.toDF().groupBy("mime")
       .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
-        round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+        sum(col("decoded").cast("long")).as("n_decoded"),
+        round(avg(element_at(col("features"), 1)), 2).as("avg_width"),
+        round(avg(element_at(col("features"), 2)), 2).as("avg_height"))
       .orderBy("mime")
   }
 

@@ -1,13 +1,22 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * decode/feature-extract as batched `mapPartitions` (the JVM analogue of
-  * `mapInPandas` — batch shape, schema and partitioning are real; only the
-  * codec itself is stubbed because no image/audio libraries ship in this
-  * container).
+  * `mapInPandas` — batch shape, schema and partitioning are real).
+  *
+  * Image decode is REAL: `javax.imageio` ships in the JDK (PNG/JPEG/GIF/BMP)
+  * and produces width/height/channel-statistics features. Non-image or
+  * undecodable payloads fall back to [[stubDecodeFeatures]] — a
+  * deterministic stand-in for the audio/video codecs this container lacks —
+  * and are flagged `decoded = false`.
   */
 object Multimodal {
 
@@ -23,11 +32,31 @@ object Multimodal {
     when(hexPrefix.startsWith("FFD8FF"), "image/jpeg")
       .when(hexPrefix.startsWith("89504E47"), "image/png")
       .when(hexPrefix.startsWith("47494638"), "image/gif")
+      .when(hexPrefix.startsWith("424D"), "image/bmp")
       .when(hexPrefix.startsWith("494433"), "audio/mpeg")
       .when(hexPrefix.startsWith("1A45DFA3"), "video/webm")
       .when(hexPrefix.startsWith("3C68746D6C") || hexPrefix.startsWith("3C21444F"),
         "text/html")
       .otherwise("application/octet-stream")
+  }
+
+  /** Scalar twin of [[sniffMime]] (same magic bytes, same order). */
+  def sniffMimeScalar(p: Array[Byte]): String = {
+    @inline def at(i: Int): Int = if (i < p.length) p(i) & 0xff else -1
+    if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "image/jpeg"
+    else if (at(0) == 0x89 && at(1) == 0x50 && at(2) == 0x4e && at(3) == 0x47)
+      "image/png"
+    else if (at(0) == 0x47 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x38)
+      "image/gif"
+    else if (at(0) == 0x42 && at(1) == 0x4d) "image/bmp"
+    else if (at(0) == 0x49 && at(1) == 0x44 && at(2) == 0x33) "audio/mpeg"
+    else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3)
+      "video/webm"
+    else if (p.length >= 5 &&
+      (new String(p, 0, 5, "ISO-8859-1").equalsIgnoreCase("<html") ||
+        new String(p, 0, math.min(5, p.length), "ISO-8859-1").startsWith("<!DO")))
+      "text/html"
+    else "application/octet-stream"
   }
 
   /** Metadata projection over a binary column — length, sniffed mime,
@@ -40,11 +69,69 @@ object Multimodal {
       "payload_hash" -> xxhash64(col(binCol))
     ))
 
-  /** STUB — deterministic fake decoder standing in for a real image/audio
-    * codec (none available in this container). Produces a feature vector as
-    * a pure function of the payload bytes so tests are reproducible. The
-    * Spark-side contract (batched iterator in, fixed-dim float vector out)
-    * is exactly what a real `mapInPandas`/JNI decoder plugs into.
+  /** Feature layout of [[decodeImageFeatures]]:
+    * [0]=width, [1]=height, [2]=channels, [3..5]=mean R,G,B (0..1),
+    * [6..8]=stddev R,G,B, [9]=mean luma; remaining slots 0.
+    */
+  val ImageFeatureDim = 16
+
+  /** REAL image decode via `javax.imageio` (JDK built-in PNG/JPEG/GIF/BMP
+    * readers). Pixels are subsampled on a ≤64×64 grid so a pathological
+    * 10000² image costs the same as a thumbnail. Returns None when no
+    * registered reader accepts the payload.
+    */
+  def decodeImageFeatures(payload: Array[Byte],
+      dim: Int = ImageFeatureDim): Option[Array[Float]] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val stepX = math.max(1, w / 64)
+        val stepY = math.max(1, h / 64)
+        var n = 0
+        val sum = new Array[Double](3)
+        val sumSq = new Array[Double](3)
+        var lumaSum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = ((rgb >> 16) & 0xff) / 255.0
+            val g = ((rgb >> 8) & 0xff) / 255.0
+            val b = (rgb & 0xff) / 255.0
+            sum(0) += r; sum(1) += g; sum(2) += b
+            sumSq(0) += r * r; sumSq(1) += g * g; sumSq(2) += b * b
+            lumaSum += 0.299 * r + 0.587 * g + 0.114 * b
+            n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        val out = new Array[Float](dim)
+        out(0) = w.toFloat
+        out(1) = h.toFloat
+        out(2) = img.getColorModel.getNumComponents.toFloat
+        var c = 0
+        while (c < 3) {
+          val mean = sum(c) / n
+          out(3 + c) = mean.toFloat
+          out(6 + c) = math.sqrt(math.max(0.0, sumSq(c) / n - mean * mean)).toFloat
+          c += 1
+        }
+        out(9) = (lumaSum / n).toFloat
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB — deterministic fake decoder standing in for the audio/video
+    * codecs this container lacks. Produces a feature vector as a pure
+    * function of the payload bytes so tests are reproducible. The Spark-side
+    * contract (batched iterator in, fixed-dim float vector out) is exactly
+    * what a real codec plugs into — see [[decodeImageFeatures]] for the
+    * image path that IS real.
     */
   def stubDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -59,31 +146,60 @@ object Multimodal {
   }
 
   final case class MediaFeatures(url: String, mime: String, n_bytes: Long,
-      features: Array[Float])
+      decoded: Boolean, features: Array[Float])
 
   /** Batched feature extraction over (url, payload) rows. Batch size mirrors
     * the reference's inference batching (32, `small_model_inference/
     * small_model_inference.py:46`); the iterator shape keeps one decoder
-    * context per partition.
+    * context per partition. Images decode for real; everything else gets the
+    * labeled stub with `decoded = false`.
     */
   def extractFeatures(rows: Dataset[(String, Array[Byte])],
-      dim: Int = 16, batchSize: Int = 32): Dataset[MediaFeatures] = {
+      dim: Int = ImageFeatureDim, batchSize: Int = 32): Dataset[MediaFeatures] = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows.mapPartitions { iter =>
       iter.grouped(batchSize).flatMap { batch =>
-        // a real decoder would decode the whole batch here (vectorized)
+        // the whole batch decodes inside one task; a vectorized codec
+        // (or a JNI batch API) slots in here without touching the plan
         batch.map { case (url, payload) =>
-          val mime = payload match {
-            case p if p.length >= 3 && (p(0) & 0xff) == 0xff &&
-              (p(1) & 0xff) == 0xd8 => "image/jpeg"
-            case p if p.length >= 5 && p.startsWith("<html".getBytes) => "text/html"
-            case _ => "application/octet-stream"
+          val mime = sniffMimeScalar(payload)
+          val real =
+            if (mime.startsWith("image/")) decodeImageFeatures(payload, dim)
+            else None
+          real match {
+            case Some(f) =>
+              MediaFeatures(url, mime, payload.length.toLong, decoded = true, f)
+            case None =>
+              MediaFeatures(url, mime, payload.length.toLong, decoded = false,
+                stubDecodeFeatures(payload, dim))
           }
-          MediaFeatures(url, mime, payload.length.toLong,
-            stubDecodeFeatures(payload, dim))
         }
       }
     }
+  }
+
+  /** Deterministic tiny PNG (real ImageIO encode of a splitmix64-seeded
+    * gradient) — the synthetic image payload for fixtures and the
+    * multimodal coverage query. Dimensions vary with the id so decoded
+    * width/height are non-trivial.
+    */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = 4 + (graft.synth.Det.mix64(id * 31L + 7L) & 0x7L).toInt   // 4..11
+    val h = 3 + (graft.synth.Det.mix64(id * 57L + 11L) & 0x7L).toInt  // 3..10
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = graft.synth.Det.mix64(id ^ (y.toLong * 131071L + x * 8191L))
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 }

@@ -42,17 +42,76 @@ class MultimodalSpec extends AnyFunSuite {
       dim = 16)
     val df = feats.toDF()
     assert(df.schema.fieldNames.sameElements(
-      Array("url", "mime", "n_bytes", "features")))
+      Array("url", "mime", "n_bytes", "decoded", "features")))
     val rows = df.orderBy("url").collect()
     assert(rows.length == 100)
-    assert(rows.forall(_.getSeq[Float](3).length == 16))
+    assert(rows.forall(_.getSeq[Float](4).length == 16))
     assert(rows.forall(_.getString(1) == "text/html"))
+    assert(rows.forall(!_.getBoolean(3)), "html must take the stub path")
     // determinism across partition counts
     val again = Multimodal.extractFeatures(
       SynthPages.pages(spark, 100L, partitions = 7).map(p => (p.url, p.html)),
       dim = 16).toDF().orderBy("url").collect()
-    assert(rows.map(_.getSeq[Float](3).toList).toList ==
-      again.map(_.getSeq[Float](3).toList).toList)
+    assert(rows.map(_.getSeq[Float](4).toList).toList ==
+      again.map(_.getSeq[Float](4).toList).toList)
+  }
+
+  test("committed PNG fixture decodes for real: exact dims + channel stats") {
+    val in = getClass.getResourceAsStream("/graft/fixture_3x2.png")
+    val payload = in.readAllBytes()
+    in.close()
+    assert(Multimodal.sniffMimeScalar(payload) == "image/png")
+    val f = Multimodal.decodeImageFeatures(payload).get
+    assert(f(0) == 3.0f && f(1) == 2.0f, s"dims ${f(0)}x${f(1)}")
+    assert(f(2) == 3.0f, "RGB channel count")
+    // pixels: (255,0,0)(0,255,0)(0,0,255) / (255,255,255)(0,0,0)(128,128,128)
+    val meanR = (255 + 0 + 0 + 255 + 0 + 128) / 6.0 / 255.0
+    val meanG = (0 + 255 + 0 + 255 + 0 + 128) / 6.0 / 255.0
+    val meanB = (0 + 0 + 255 + 255 + 0 + 128) / 6.0 / 255.0
+    assert(math.abs(f(3) - meanR) < 1e-6)
+    assert(math.abs(f(4) - meanG) < 1e-6)
+    assert(math.abs(f(5) - meanB) < 1e-6)
+  }
+
+  test("synthetic PNGs roundtrip: encode → sniff → decode to exact dims") {
+    import spark.implicits._
+    val ids = (0L until 32L).toSeq
+    val ds = ids.map(id => (s"img$id", Multimodal.synthPng(id))).toDS()
+    val rows = Multimodal.extractFeatures(ds).toDF().orderBy("url").collect()
+    assert(rows.forall(_.getString(1) == "image/png"))
+    assert(rows.forall(_.getBoolean(3)), "every PNG must really decode")
+    rows.foreach { r =>
+      val id = r.getString(0).drop(3).toLong
+      val f = r.getSeq[Float](4)
+      val expW = 4 + (graft.synth.Det.mix64(id * 31L + 7L) & 0x7L).toInt
+      val expH = 3 + (graft.synth.Det.mix64(id * 57L + 11L) & 0x7L).toInt
+      assert(f(0) == expW.toFloat && f(1) == expH.toFloat, s"id=$id")
+      assert(f(3) >= 0.0f && f(3) <= 1.0f)
+    }
+  }
+
+  test("JPEG in-memory roundtrip decodes via the same path") {
+    val img = new java.awt.image.BufferedImage(8, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 8) img.setRGB(x, y, (x * 32) << 16)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val payload = bos.toByteArray
+    assert(Multimodal.sniffMimeScalar(payload) == "image/jpeg")
+    val f = Multimodal.decodeImageFeatures(payload).get
+    assert(f(0) == 8.0f && f(1) == 5.0f)
+  }
+
+  test("corrupt image bytes fall back to the stub, flagged undecoded") {
+    val fake = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3, 4)
+    assert(Multimodal.sniffMimeScalar(fake) == "image/png")
+    assert(Multimodal.decodeImageFeatures(fake).isEmpty)
+    import spark.implicits._
+    val rows = Multimodal.extractFeatures(Seq(("bad", fake)).toDS())
+      .collect()
+    assert(!rows.head.decoded)
+    assert(rows.head.features.sameElements(
+      Multimodal.stubDecodeFeatures(fake, Multimodal.ImageFeatureDim)))
   }
 
   test("stub decoder is a pure function of payload bytes") {
