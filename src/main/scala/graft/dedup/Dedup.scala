@@ -60,9 +60,20 @@ object Dedup {
     * with exact Jaccard over the shingle sets; `minJaccard` filters the
     * verified similarity. Shuffles: one per-band explode+groupBy (fused into
     * a single shuffle on band_key) and the candidate join-back.
+    *
+    * Skew guard: a band bucket larger than `bucketCap` (boilerplate/template
+    * mega-clusters — the one place bucketed LSH still goes quadratic) is NOT
+    * expanded all-pairs; its members pair only with the bucket's min-id
+    * representative (star pattern). Pair count in a bucket of size s drops
+    * from C(s,2) to s−1 while every member stays connected to the cluster
+    * through the representative, so downstream connected-components dedup
+    * keeps the same clusters; only the pairwise edge LIST within mega-
+    * clusters is thinned (and every emitted edge is still exact-verified).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.8, shingleN: Int = 3): DataFrame = {
+      minJaccard: Double = 0.8, shingleN: Int = 3,
+      bucketCap: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sigs = withMinHash(df, textCol, shingleN)
       .select(col(idCol).as("id"), col("shingles"), col("minhash"))
       .filter(size(col("shingles")) > 0)
@@ -70,11 +81,23 @@ object Dedup {
     val banded = sigs.select(col("id"),
       explode(array((0 until Bands).map(bandKey): _*)).as("band_key"))
 
-    // pairs sharing any band bucket (distinct to collapse multi-band hits)
-    val pairs = banded.as("x").join(banded.as("y"),
+    // one shuffle on band_key serves both the size census and the pairing
+    val w = Window.partitionBy("band_key")
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min("id").over(w))
+
+    val smallSide = sized.filter(col("bsz") <= bucketCap)
+      .select("id", "band_key")
+    val allPairs = smallSide.as("x").join(smallSide.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val starPairs = sized
+      .filter(col("bsz") > bucketCap && col("id") =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col("id").as("id_b"))
+
+    // distinct collapses multi-band hits
+    val pairs = allPairs.unionByName(starPairs).distinct()
 
     // verification: exact Jaccard over shingle SETS of the candidates only
     val sets = sigs.select(col("id"), array_distinct(col("shingles")).as("sh"))
@@ -135,6 +158,45 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("x.grp").as("grp"), col("x.id").as("id_a"),
         col("y.id").as("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Scale path for [[jaccardWithinGroup]] when groups are NOT bounded
+    * (a hot `source`/host group at 100 TB): candidates must share a MinHash
+    * LSH band INSIDE the group, so the quadratic blow-up is bounded by band
+    * bucket sizes instead of group sizes. Same exact-Jaccard verification;
+    * recall follows the LSH S-curve (≥ ~99.5% at J ≥ 0.9 with 8 bands × 4
+    * rows), so use the exact variant only where a group-size contract holds.
+    */
+  def jaccardWithinGroupLsh(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minJaccard: Double, shingleN: Int = 3): DataFrame = {
+    val sigs = withMinHash(df, textCol, shingleN)
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        array_distinct(col("shingles")).as("sh"), col("minhash"))
+      .filter(size(col("sh")) > 0)
+    // candidate keys only through the band join + distinct (the heavy
+    // shingle arrays join back per verified candidate, as in minhashNearDups)
+    val banded = sigs.select(col("grp"), col("id"), size(col("sh")).as("ssz"),
+      explode(array((0 until Bands).map(bandKey): _*)).as("band_key"))
+    val sizeOk =
+      col("x.ssz").cast("double") >= lit(minJaccard) * col("y.ssz") &&
+      col("y.ssz").cast("double") >= lit(minJaccard) * col("x.ssz")
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.grp") === col("y.grp") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id") && sizeOk)
+      .select(col("x.grp").as("grp"), col("x.id").as("id_a"),
+        col("y.id").as("id_b"))
+      .distinct()
+    val sets = sigs.select(col("id"), col("sh"))
+    pairs
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("grp"), col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ---- embedding cosine near-dup ------------------------------------------

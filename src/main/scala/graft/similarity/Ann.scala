@@ -62,20 +62,40 @@ object Ann {
         round(col("cosine"), 6).as("cosine"), col("rk"))
   }
 
-  /** LSH-bucketed approximate top-k: candidates share the query's hyperplane
-    * bucket; exact cosine ranks within candidates. Scale path — bucket join
-    * instead of cross join.
+  /** LSH-bucketed approximate top-k: candidates share one of the query's
+    * probed hyperplane buckets; exact cosine ranks within candidates. Scale
+    * path — bucket join instead of cross join.
+    *
+    * Multi-probe (probeRadius ≥ 1, default 1): each query probes its own
+    * bucket PLUS every bucket within Hamming distance `probeRadius` (sign
+    * bits flipped — the buckets a true neighbor most likely lands in),
+    * fixing the sparse-bucket recall hole of single-probe LSH. Only the
+    * small QUERY side is replicated ×(Σ C(planes,r)); the corpus keeps one
+    * row per vector, so the join stays linear in the corpus at 100 TB.
+    * Recall/cost dial: radius 1 ≈ cheap recall boost, radius 2 for
+    * recall-critical small query sets; `probeRadius = 0` is single-probe.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
-      embCol: String, k: Int, planes: Int = 8, dim: Int = 64): DataFrame = {
+      embCol: String, k: Int, planes: Int = 8, dim: Int = 64,
+      probeRadius: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(qId).as("query_id"), col(embCol).as("q_emb"),
-      hyperplaneBucket(col(embCol), planes, dim).as("bucket"))
+    require(planes <= 24, "enumerate probe masks over ≤ 24 planes")
+    val masks: Seq[Column] = (0L until (1L << planes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+      .map(lit)
+    val q = queries
+      .select(col(qId).as("query_id"), col(embCol).as("q_emb"),
+        hyperplaneBucket(col(embCol), planes, dim).as("qbucket"))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("qbucket").bitwiseXOR(m)): _*)))
+      .drop("qbucket")
     val c = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"),
       hyperplaneBucket(col(embCol), planes, dim).as("bucket"))
     val scored = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      // a candidate can match several probes — count it once in the ranking
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))

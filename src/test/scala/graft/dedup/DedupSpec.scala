@@ -84,6 +84,52 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("mega-bucket skew: planted 1k-duplicate cluster stays linear, connected") {
+    // 1000 identical template pages (one LSH bucket per band holds all of
+    // them) + a few unique docs. Uncapped all-pairs would emit C(1000,2) ≈
+    // 500k candidate pairs; the star cap bounds it near s−1 per bucket.
+    val template = "pagina șablon identică pe toate gazdele acestui site " * 6
+    val uniq = Seq(
+      2001L -> ("conținut complet diferit despre altceva " * 6),
+      2002L -> ("alte cuvinte fără nicio legătură cu șablonul " * 6))
+    val rows = (1L to 1000L).map(i => i -> template) ++ uniq
+    val df = docs(rows: _*)
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+      minJaccard = 0.9, bucketCap = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length < 5000, s"pair explosion: ${pairs.length} pairs")
+    assert(pairs.length >= 999, s"cluster under-connected: ${pairs.length}")
+    // every cluster member connects to the representative (id 1)
+    val members = pairs.collect { case (1L, b) => b }.toSet
+    assert(members == (2L to 1000L).toSet, "star edges must cover the cluster")
+    assert(!pairs.exists(p => p._1 > 2000L || p._2 > 2000L),
+      "unique docs must not pair")
+  }
+
+  test("jaccardWithinGroupLsh agrees with exact within-group jaccard on dups") {
+    val base = "unu doi trei patru cinci șase șapte opt nouă zece " * 5
+    val near = base.replace("cinci", "chiar")
+    val other = "complet diferit text despre altceva cu totul alte cuvinte " * 5
+    val df = docs(1L -> base, 2L -> base, 3L -> near, 4L -> other)
+      .withColumn("grp", lit("g"))
+    val exact = Dedup.jaccardWithinGroup(df, "doc_id", "text", "grp",
+      minJaccard = 0.5).collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val lsh = Dedup.jaccardWithinGroupLsh(df, "doc_id", "text", "grp",
+      minJaccard = 0.5).collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    // LSH candidates ⊆ exact pairs, with identical verified jaccard values
+    assert(lsh.keySet.subsetOf(exact.keySet), s"lsh=$lsh exact=$exact")
+    lsh.foreach { case (k, j) => assert(j == exact(k), s"pair $k") }
+    // the planted exact-dup pair must survive LSH bucketing
+    assert(lsh.contains((1L, 2L)))
+    // group isolation: different groups never pair even with equal text
+    val twoGrp = docs(1L -> base, 2L -> base)
+      .withColumn("grp", when(col("doc_id") === 1, "g1").otherwise("g2"))
+    assert(Dedup.jaccardWithinGroupLsh(twoGrp, "doc_id", "text", "grp",
+      minJaccard = 0.5).count() == 0)
+  }
+
   test("doc_fingerprint is reflow-stable and content-sensitive") {
     import spark.implicits._
     val fps = Seq("Ana are  mere", "ana\nare mere", "ana are pere")
