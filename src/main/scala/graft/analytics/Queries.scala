@@ -428,31 +428,36 @@ object Queries {
   // size-ratio pruning on both engines: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
   // so J ≥ 0.9 requires the set sizes to be within 10% — checked BEFORE the
   // expensive intersect/union (standard similarity-join prefix/size filter)
+  // jaccard = i / (|A| + |B| - i): the intersection is computed ONCE per
+  // pair and the union size derived (sets are already distinct) — half the
+  // set-op cost of intersect+union, replicated on both engines
   register("q_dedup_jaccard_group",
     """WITH sets AS (
       |  SELECT source AS grp, doc_id,
       |         list_distinct(string_split(text, ' ')) AS sh
-      |  FROM documents)
-      |SELECT x.grp AS grp, x.doc_id AS id_a, y.doc_id AS id_b,
-      |  round(len(list_intersect(x.sh, y.sh)) * 1.0 /
-      |        len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-      |FROM sets x JOIN sets y
-      |  ON x.grp = y.grp AND x.doc_id < y.doc_id
-      | AND len(x.sh) >= 0.9 * len(y.sh) AND len(y.sh) >= 0.9 * len(x.sh)
-      |WHERE len(list_intersect(x.sh, y.sh)) * 1.0 /
-      |      len(list_distinct(list_concat(x.sh, y.sh))) >= 0.9
+      |  FROM documents),
+      |cand AS (
+      |  SELECT x.grp AS grp, x.doc_id AS id_a, y.doc_id AS id_b,
+      |         len(list_intersect(x.sh, y.sh)) * 1.0 /
+      |           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+      |           AS jaccard
+      |  FROM sets x JOIN sets y
+      |    ON x.grp = y.grp AND x.doc_id < y.doc_id
+      |   AND len(x.sh) >= 0.9 * len(y.sh) AND len(y.sh) >= 0.9 * len(x.sh))
+      |SELECT grp, id_a, id_b, round(jaccard, 6) AS jaccard
+      |FROM cand WHERE jaccard >= 0.9
       |ORDER BY grp, id_a, id_b""".stripMargin) { (s, dir) =>
     val sets = t(s, dir, "documents").select(col("source").as("grp"),
       col("doc_id"), array_distinct(split(col("text"), " ")).as("sh"))
     val sizeOk =
       size(col("x.sh")).cast("double") >= lit(0.9) * size(col("y.sh")) &&
       size(col("y.sh")).cast("double") >= lit(0.9) * size(col("x.sh"))
+    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
     sets.as("x").join(sets.as("y"),
         col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id") &&
           sizeOk)
       .withColumn("jaccard",
-        size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-          size(array_union(col("x.sh"), col("y.sh"))))
+        inter.cast("double") / (size(col("x.sh")) + size(col("y.sh")) - inter))
       .filter(col("jaccard") >= 0.9)
       .select(col("x.grp").as("grp"), col("x.doc_id").as("id_a"),
         col("y.doc_id").as("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -669,6 +674,28 @@ object Queries {
         |ORDER BY lang_g, source_g""".stripMargin)
   }
 
+  // --- X2: prompt assembly (big_inference.py:131-137,171-207) — one common
+  //     template split at the first %s, per-doc token-budget truncation,
+  //     before ∥ text ∥ after; md5 pins the assembled bytes on both engines -
+  private val PromptTemplate =
+    "Analizează pagina web de mai jos.\n%s\nRăspunde cu Topic, Subtopic și Valoare educațională (0-5)."
+  register("q_x2_prompt_assembly", {
+    val (before, after) = graft.functions.Prompts.splitTemplate(PromptTemplate)
+    s"""SELECT doc_id,
+       |  length('$before' || array_to_string(string_split(text, ' ')[1:32], ' ')
+       |    || '$after') AS n_prompt_chars,
+       |  md5('$before' || array_to_string(string_split(text, ' ')[1:32], ' ')
+       |    || '$after') AS prompt_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val prompt = graft.functions.Prompts.assemble(col("text"), PromptTemplate, 32)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(prompt).as("n_prompt_chars"),
+        md5(prompt.cast("binary")).as("prompt_md5"))
+      .orderBy("doc_id")
+  }
+
   // --- A4∘F1 composition: percentile grid → pick 92nd → threshold filter ---
   // (quantiles_fetcher.py:56-65 grid; run.sh:4-6 picks the 92nd; the derived
   // threshold feeds filter_jql.py:27). One plan: grid agg → broadcast 1-row
@@ -774,6 +801,23 @@ object Queries {
         col("age_group").isin(tx.ageGroups: _*) &&
         col("int_score").between(0, 5))
       .orderBy("doc_id")
+  }
+
+  // --- N1 multi-language: fineweb2-style top_langs map (fineweb2_download
+  //     .py:23, dataset_upload.py:31 — a JSON string of per-language scores;
+  //     one gram pass advances ALL language accumulators). Rows-only →
+  //     golden-pinned; language correctness asserted in LangIdSpec ----------
+  register("q_langid_top_langs", null) { (s, _) =>
+    import s.implicits._
+    val pages = graft.synth.SynthPages.pages(s, 500L)
+    val bw = s.sparkContext.broadcast(graft.stages.LangIdModel.multiWeights)
+    pages.mapPartitions { it =>
+      val w = bw.value
+      it.map { p =>
+        val tl = graft.stages.LangIdModel.topLangs(p.text, w)
+        (p.url, tl.head._1, graft.stages.LangIdModel.topLangsJson(tl))
+      }
+    }.toDF("url", "lang_top1", "top_langs").orderBy("url")
   }
 
   //  3. q_smallmodel_records — the REAL deterministic multi-task scorer

@@ -100,13 +100,15 @@ object Dedup {
     val pairs = allPairs.unionByName(starPairs).distinct()
 
     // verification: exact Jaccard over shingle SETS of the candidates only
+    // (one intersection per pair; union size derived)
     val sets = sigs.select(col("id"), array_distinct(col("shingles")).as("sh"))
+    val inter2 = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        inter2.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter2))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -146,15 +148,16 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     // size-ratio pruning (similarity-join standard): J(A,B) ≤ min/max of the
     // set sizes, so J ≥ t requires min ≥ t·max — evaluated in the join
-    // condition before the expensive intersect/union
+    // condition before the expensive intersection
     val sizeOk =
       size(col("x.sh")).cast("double") >= lit(minJaccard) * size(col("y.sh")) &&
       size(col("y.sh")).cast("double") >= lit(minJaccard) * size(col("x.sh"))
+    // |A∪B| = |A| + |B| − |A∩B| for distinct sets: one intersection, no union
+    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
     sets.as("x").join(sets.as("y"),
         col("x.grp") === col("y.grp") && col("x.id") < col("y.id") && sizeOk)
       .withColumn("jaccard",
-        size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-          size(array_union(col("x.sh"), col("y.sh"))))
+        inter.cast("double") / (size(col("x.sh")) + size(col("y.sh")) - inter))
       .filter(col("jaccard") >= minJaccard)
       .select(col("x.grp").as("grp"), col("x.id").as("id_a"),
         col("y.id").as("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -188,12 +191,13 @@ object Dedup {
         col("y.id").as("id_b"))
       .distinct()
     val sets = sigs.select(col("id"), col("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter))
       .filter(col("jaccard") >= minJaccard)
       .select(col("grp"), col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jaccard"))

@@ -36,14 +36,18 @@ object LangIdModel extends Serializable {
       " două ", "oară", "esc ", "ică ") ++
       Corpus.roStopwords.map(w => " " + w + " ")
 
-  private val otherMarkers: Array[String] =
+  private val enMarkers: Array[String] =
     Array(" the ", " of ", " and ", " to ", " is ", " that ", " with ",
       " for ", " this ", " have ", "ing ", "tion ", " th", "wh", " w",
-      "ck", "gh", "sh ", "oo", "ee",
-      " az ", " és ", " hogy ", " nem ", " egy ", " meg ", "gy", "sz",
+      "ck", "gh", "sh ", "oo", "ee") ++
+      Corpus.enWords.take(40).map(w => " " + w + " ")
+
+  private val huMarkers: Array[String] =
+    Array(" az ", " és ", " hogy ", " nem ", " egy ", " meg ", "gy", "sz",
       "ö", "ü", "ő", "ű", " el ", " volt ") ++
-      Corpus.enWords.take(40).map(w => " " + w + " ") ++
       Corpus.huWords.take(25).map(w => " " + w + " ")
+
+  private val otherMarkers: Array[String] = enMarkers ++ huMarkers
 
   def bucket(s: CharSequence, from: Int, until: Int): Int =
     (Det.hashString(s, from, until, HashSalt) & Mask).toInt
@@ -114,4 +118,75 @@ object LangIdModel extends Serializable {
     val conf = confidence(rawScore(text, w))
     if (conf >= 0.5) ("ron", conf) else ("other", 1.0 - conf)
   }
+
+  // --- multi-language top_langs (reference metadata field:
+  //     `fineweb/fineweb2_download.py:23`, a JSON map of fastText
+  //     "<lang>_<Script>_score" → probability; dataset_upload.py:31 keeps it
+  //     as a string) — one per-language marker weight vector over the same
+  //     hashed bucket space, softmax over the mean scores -----------------
+
+  /** Languages with committed marker lexicons, fineweb2 label format. */
+  val MultiLangs: Array[String] = Array("ron_Latn", "eng_Latn", "hun_Latn")
+
+  /** One quantized weight vector per language in [[MultiLangs]] order. */
+  lazy val multiWeights: Array[Array[Float]] = {
+    def build(markers: Array[String]): Array[Float] = {
+      val w = new Array[Float](NumBuckets)
+      markers.foreach(m => addNgrams(w, m, 1.0f))
+      var i = 0
+      while (i < w.length) { w(i) = math.round(w(i) / Q) * Q; i += 1 }
+      w
+    }
+    Array(build(roMarkers), build(enMarkers), build(huMarkers))
+  }
+
+  private val MultiGain = 60.0
+
+  /** Per-language probabilities, ONE pass over the n-gram stream (all
+    * language accumulators advance together), softmax over mean marker
+    * scores. Returns (label, prob) sorted prob-desc, label tiebreak.
+    */
+  def topLangs(text: String,
+      lw: Array[Array[Float]] = multiWeights): Seq[(String, Double)] = {
+    val sums = new Array[Double](lw.length)
+    var count = 0
+    if (text != null && !text.isEmpty) {
+      val len = math.min(text.length, MaxChars)
+      val sb = new java.lang.StringBuilder(len + 2)
+      sb.append(' ')
+      var i = 0
+      while (i < len) {
+        val c = text.charAt(i)
+        sb.append(if (c == '\n' || c == '\t') ' ' else Character.toLowerCase(c))
+        i += 1
+      }
+      sb.append(' ')
+      var n = MinN
+      while (n <= MaxN) {
+        var j = 0
+        while (j + n <= sb.length) {
+          val b = bucket(sb, j, j + n)
+          var l = 0
+          while (l < lw.length) { sums(l) += lw(l)(b); l += 1 }
+          count += 1
+          j += 1
+        }
+        n += 1
+      }
+    }
+    val logits = sums.map(s => if (count == 0) 0.0 else MultiGain * s / count)
+    val m = logits.max
+    val e = logits.map(x => math.exp(x - m))
+    val z = e.sum
+    MultiLangs.zip(e.map(_ / z)).sortBy { case (l, p) => (-p, l) }.toSeq
+  }
+
+  /** fineweb2-style JSON string, entries prob-desc, 4 decimals:
+    * `{"ron_Latn_score": 0.9731, ...}`.
+    */
+  def topLangsJson(tl: Seq[(String, Double)]): String =
+    tl.map { case (l, p) => f""""${l}_score": $p%.4f""" }
+      .mkString("{", ", ", "}")
+
+  def topLangsJson(text: String): String = topLangsJson(topLangs(text))
 }

@@ -59,4 +59,33 @@ class LangIdSpec extends AnyFunSuite {
   test("weights are quantized (partition-invariance prerequisite)") {
     assert(w.forall(x => (x * 64.0f) == math.round(x * 64.0f).toFloat))
   }
+
+  test("top_langs ranks the true language first on all three marker sets") {
+    val ro = "aceasta este o pagină în limba română despre știință și " +
+      "cultură care vorbește pentru toți copiii din orașul nostru"
+    val en = "this is the english text about science and culture that " +
+      "speaks for all the children of our town with many common words"
+    val hu = "ez egy magyar nyelvű szöveg a tudományról és a kultúráról " +
+      "hogy nem csak egy ember volt itt"
+    assert(LangIdModel.topLangs(ro).head._1 == "ron_Latn")
+    assert(LangIdModel.topLangs(en).head._1 == "eng_Latn")
+    assert(LangIdModel.topLangs(hu).head._1 == "hun_Latn")
+  }
+
+  test("top_langs is a simplex, sorted desc, stable JSON format") {
+    val tl = LangIdModel.topLangs("orice text de probă pentru structura hărții")
+    assert(math.abs(tl.map(_._2).sum - 1.0) < 1e-9)
+    assert(tl.sliding(2).forall { case Seq(a, b) => a._2 >= b._2; case _ => true })
+    val json = LangIdModel.topLangsJson(tl)
+    assert(json.startsWith("{\"") && json.endsWith("}"))
+    assert(json.contains("_score\": 0."))
+    // family consistency on the synthetic corpus: English pages rank eng
+    val engPages = (0L until 1000L).map(SynthPages.gen(_))
+      .filter(p => SynthPages.familyOf(42L, p.url.substring(
+        p.url.lastIndexOf('/') + 1).toLong) == 1)
+    assert(engPages.nonEmpty)
+    engPages.foreach { p =>
+      assert(LangIdModel.topLangs(p.text).head._1 == "eng_Latn", p.text.take(60))
+    }
+  }
 }
