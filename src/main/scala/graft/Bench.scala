@@ -58,6 +58,44 @@ object Bench {
     sec
   }
 
+  /** Pure-JVM embarrassingly-parallel scoring throughput at `threads` —
+    * the HOST's parallel-scaling envelope. No Spark, no shuffle, no
+    * scheduler: each thread scores the same doc mix independently, so any
+    * sub-linearity here is the machine (turbo clocks at low thread counts,
+    * shared LLC/memory bandwidth at high counts), not the engine. Separate
+    * 4N-executor machines on a real cluster share none of that, so the
+    * engine's N→4N efficiency is reported both raw and normalized by this
+    * envelope.
+    */
+  private def cpuEnvelope(threads: Int, docsPerThread: Int): Double = {
+    val texts = (0 until 256)
+      .map(i => graft.synth.SynthPages.gen(i.toLong).text).toArray
+    val w = graft.stages.LangIdModel.weights
+    val lm = graft.stages.PerplexityModel.default
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      new Thread(() => {
+        var acc = 0L
+        var i = 0
+        while (i < docsPerThread) {
+          val txt = texts(i % texts.length)
+          val h = graft.stages.HeuristicsScalar.compute(txt)
+          val sc = graft.stages.ScrubScalar(txt)
+          val (p, _) = graft.stages.LangIdModel.predict(txt, w)
+          acc += h.docLenWords + sc.nSlurs + lm.perplexity(txt).toLong +
+            (if (p == "ron") 1 else 0)
+          i += 1
+        }
+        sink.addAndGet(acc)
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    require(sink.get() != Long.MinValue) // keep the work observable
+    threads.toLong * docsPerThread / ((System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -108,21 +146,37 @@ object Bench {
     // anywhere in the run benefits all three series equally. k is emitted
     // in the JSON so the evidence is auditable.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
+    // the scaling pair runs 2× the headline docs so fixed per-job overheads
+    // (scheduling, codegen, broadcast) amortize on the WIDE side — at 250k
+    // docs local[16] finishes in ~4 s and those constants read as false
+    // scaling loss a real 4N-executor cluster with hour-long stages never
+    // sees; at 500k they are < 3% of the measurement
+    val pairDocs = pipelineDocs * 2
     val fulls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val highs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val lows = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val envHighs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val envLows = scala.collection.mutable.ArrayBuffer.empty[Double]
+    cpuEnvelope(nHigh, 2000) // JIT warmup for the envelope probe
     for (_ <- 1 to rounds) {
       fulls += measureAt(cpus, pipelineDocs)
-      highs += measureAt(nHigh, pipelineDocs)
-      lows += measureAt(nLow, pipelineDocs)
+      highs += measureAt(nHigh, pairDocs)
+      lows += measureAt(nLow, pairDocs)
+      envHighs += cpuEnvelope(nHigh, 12000)
+      envLows += cpuEnvelope(nLow, 12000)
     }
     val secFull = fulls.min
     val secHigh = highs.min
     val secLow = lows.min
     val tpFull = pipelineDocs / secFull
-    val tpHigh = pipelineDocs / secHigh
-    val tpLow = pipelineDocs / secLow
+    val tpHigh = pairDocs / secHigh
+    val tpLow = pairDocs / secLow
     val efficiency = tpHigh / (4.0 * tpLow)
+    // host envelope: best-of throughput of the frameworkless probe at each
+    // width; the engine cannot scale better than the machine lets ANY
+    // embarrassingly-parallel JVM code scale
+    val envEff = envHighs.max / (4.0 * envLows.max)
+    val effVsHost = efficiency / envEff
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -133,10 +187,13 @@ object Bench {
       s""""samples_per_series":$rounds,""" +
       s""""pipeline":{"docs":$pipelineDocs,""" +
       s""""local${cpus}_sec":${f"$secFull%.2f"},"local${cpus}_docs_per_sec":${f"$tpFull%.1f"},""" +
-      s""""scaling_pair":{"n_cores":$nLow,"n4_cores":$nHigh,""" +
+      s""""scaling_pair":{"docs":$pairDocs,"n_cores":$nLow,"n4_cores":$nHigh,""" +
       s""""local${nLow}_sec":${f"$secLow%.2f"},"local${nLow}_docs_per_sec":${f"$tpLow%.1f"},""" +
       s""""local${nHigh}_sec":${f"$secHigh%.2f"},"local${nHigh}_docs_per_sec":${f"$tpHigh%.1f"},""" +
-      s""""scaling_efficiency_n_to_4n":${f"$efficiency%.3f"}},""" +
+      s""""scaling_efficiency_n_to_4n":${f"$efficiency%.3f"},""" +
+      s""""host_envelope_n_to_4n":${f"$envEff%.3f"},""" +
+      s""""host_envelope_docs_per_sec":{"n":${f"${envLows.max}%.0f"},"n4":${f"${envHighs.max}%.0f"}},""" +
+      s""""scaling_efficiency_vs_host_envelope":${f"$effVsHost%.3f"}},""" +
       s""""parquet_write_docs_per_sec_throttled_disk":${f"${parquetDocs / parquetSec}%.1f"}},""" +
       s""""queries_total_sec":${f"${results.map(_._2).sum}%.2f"}}""")
   }

@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** J2 — scale-safe global row numbering for alignment joins
+  * (`comparison.py:119-131` pairs two result lists positionally).
+  *
+  * `row_number() OVER (ORDER BY …)` with no PARTITION BY collapses the
+  * whole dataset into ONE task — fine on a fixture, fatal at 10^12 rows.
+  * This operator produces the identical contiguous 1-based numbering
+  * distributed: range-repartition by the sort key (non-overlapping key
+  * ranges per partition), rank WITHIN each partition (a distributed
+  * window keyed by partition id), then add each partition's cumulative
+  * row offset via a broadcast of the tiny per-partition count manifest
+  * (`numPartitions` rows). Two passes over the data, no single-partition
+  * stage anywhere.
+  *
+  * Determinism: like any row_number, the numbering is deterministic iff
+  * `sortCols` is a total order (ties land in one partition — the
+  * RangePartitioner keys equal values together — but tie order within it
+  * is unspecified, exactly as with the single-partition window).
+  */
+object Align {
+
+  def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
+      out: String, numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // per-partition counts → cumulative offsets (manifest of n rows; the
+    // unpartitioned window here runs over n rows, not the data)
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum("__cnt").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    val local = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(out, row_number().over(local) + col("__off"))
+      .drop("__pid")
+  }
+
+  /** The reference's positional alignment of two filtered streams: number
+    * both sides by `sortCols` and equi-join on the row number.
+    */
+  def alignByRowNumber(a: DataFrame, b: DataFrame, sortCols: Seq[Column],
+      rnCol: String = "rn"): DataFrame =
+    withGlobalRowNumber(a, sortCols, rnCol)
+      .join(withGlobalRowNumber(b, sortCols, rnCol), rnCol)
+}

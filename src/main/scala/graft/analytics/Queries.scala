@@ -122,14 +122,15 @@ object Queries {
       |SELECT a.rn AS rn, round(a.o_totalprice - b.o_totalprice, 2) AS price_diff
       |FROM a JOIN b ON a.rn = b.rn WHERE a.rn <= 100 ORDER BY rn""".stripMargin) {
     (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("o_orderkey")
+      // distributed numbering (Align): range partition + per-partition rank
+      // + broadcast offsets — identical values to the naive unpartitioned
+      // window, without its all-rows-to-one-task collapse
       val o = t(s, dir, "orders")
-      val a = o.filter(col("o_orderstatus") === "F")
-        .withColumn("rn", row_number().over(w)).select("rn", "o_totalprice")
-      val b = o.filter(col("o_orderstatus") === "O")
-        .withColumn("rn", row_number().over(w)).select("rn", "o_totalprice")
-      a.alias("a").join(b.alias("b"), "rn")
+      def side(status: String) = Align.withGlobalRowNumber(
+        o.filter(col("o_orderstatus") === status)
+          .select("o_orderkey", "o_totalprice"),
+        Seq(col("o_orderkey")), "rn").select("rn", "o_totalprice")
+      side("F").alias("a").join(side("O").alias("b"), "rn")
         .filter(col("rn") <= 100)
         .select(col("rn"),
           round(col("a.o_totalprice") - col("b.o_totalprice"), 2).as("price_diff"))

@@ -58,8 +58,41 @@ object PlanEvidence {
 
     section("MinHash LSH — bucket join, no cross join (q_dedup_minhash_lsh)",
       "Candidate pairs come from a shuffle on `band_key` (equi join), never " +
-      "an all-pairs cross join; verification joins back by id.")(
+      "an all-pairs cross join; verification joins back by id. The window " +
+      "over `band_key` (bucket census for the mega-bucket star cap) reuses " +
+      "the same hash partitioning — no extra Exchange beyond the band " +
+      "shuffle itself.")(
       graft.analytics.Queries.all("q_dedup_minhash_lsh")(spark, sf))
+
+    section("Multi-probe ANN — query side replicated, corpus scanned once " +
+      "(q_ann_lsh_topk)",
+      "The probe explode sits on the QUERY side only; the corpus is a " +
+      "single pruned scan feeding one equi join on `bucket` — corpus cost " +
+      "is independent of the probe count.")(
+      graft.analytics.Queries.all("q_ann_lsh_topk")(spark, sf))
+
+    section("Derived-threshold filter — broadcast scalar, no driver " +
+      "round-trip (q_pct_threshold_filter)",
+      "The 1-row percentile aggregate is broadcast " +
+      "(`BroadcastNestedLoopJoin`) into the filter scan: the corpus " +
+      "streams once against the derived threshold, nothing is collected.")(
+      graft.analytics.Queries.all("q_pct_threshold_filter")(spark, sf))
+
+    section("Small-model inference — shuffle-free batched scoring " +
+      "(q_smallmodel_records)",
+      "One pruned 2-column scan into one MapPartitions (broadcast weight " +
+      "tensors, batch 32) — per-task top-3 record emission adds no " +
+      "Exchange before the output sort.")(
+      graft.analytics.Queries.all("q_smallmodel_records")(spark, sf))
+
+    section("Distributed global row_number — no single-partition window " +
+      "(q_j2_rownumber_align)",
+      "`Align.withGlobalRowNumber`: RangePartitioning exchange + window " +
+      "keyed by `__pid` + BroadcastHashJoin of the tiny offset manifest — " +
+      "the naive `Window [row_number()] (no partition spec)` single-task " +
+      "collapse never appears for the data; the only unpartitioned window " +
+      "runs over the numPartitions-row count manifest.")(
+      graft.analytics.Queries.all("q_j2_rownumber_align")(spark, sf))
 
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md (" + sb.length + " chars)")

@@ -1,0 +1,56 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Distributed global row numbering ≡ the naive single-partition window. */
+class AlignSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("withGlobalRowNumber equals the unpartitioned window, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0 until 5000)
+      .map(i => ((i * 2654435761L) % 100003L, s"v$i"))
+      .toDF("k", "v")
+    val naive = df.withColumn("rn",
+        row_number().over(Window.orderBy("k")).cast("long"))
+      .select("k", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Align.withGlobalRowNumber(df.repartition(7), Seq(col("k")),
+          "rn", numPartitions = parts)
+        .select("k", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == naive.size)
+      assert(got == naive, s"numbering diverges at numPartitions=$parts")
+    }
+  }
+
+  test("numbering is contiguous 1..n and no stage sees all rows") {
+    import spark.implicits._
+    val ks: Seq[Int] = (1 to 997).map(i => i * 13)
+    val df = ks.toDF("k")
+    val out = Align.withGlobalRowNumber(df, Seq(col("k")), "rn",
+      numPartitions = 8)
+    val rns = out.select("rn").collect().map(_.getLong(0)).sorted
+    val expect: Array[Long] = Array.tabulate(997)(i => (i + 1).toLong)
+    assert(rns.sameElements(expect))
+    // plan evidence: no empty-partition-spec window (the single-task shape)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [row_number()") ||
+      plan.contains("__pid"), "window must be keyed by partition id")
+  }
+
+  test("alignByRowNumber pairs two streams positionally") {
+    import spark.implicits._
+    val a = Seq((10, "a1"), (20, "a2"), (30, "a3")).toDF("k", "va")
+    val b = Seq((5, "b1"), (25, "b2"), (45, "b3"), (65, "b4")).toDF("k", "vb")
+    val out = Align.alignByRowNumber(a.select("k", "va"),
+        b.select(col("k"), col("vb")).drop("va"), Seq(col("k")))
+      .select("rn", "va", "vb").orderBy("rn").collect()
+    assert(out.length == 3) // inner join on rn: min(|a|,|b|)
+    assert(out.map(_.getString(1)).sameElements(Array("a1", "a2", "a3")))
+    assert(out.map(_.getString(2)).sameElements(Array("b1", "b2", "b3")))
+  }
+}
