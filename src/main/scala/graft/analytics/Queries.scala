@@ -465,6 +465,43 @@ object Queries {
       .orderBy("grp", "id_a", "id_b")
   }
 
+  // --- dedup: duplicate-cluster formation (connected components over
+  //     candidate edges — the reference corpus carries the result as
+  //     minhash_cluster_size, fineweb2_download.py:22). Edges are a
+  //     deterministic arithmetic graph (5-node stars, every 5th pair of
+  //     stars bridged) so DuckDB reproduces them; the oracle computes the
+  //     components with a recursive CTE while Spark runs distributed
+  //     min-label propagation ---------------------------------------------
+  register("q_dedup_clusters",
+    """WITH RECURSIVE
+      |edges AS (
+      |  SELECT doc_id AS a, doc_id - (doc_id % 5) AS b FROM documents
+      |  WHERE doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT doc_id AS a, doc_id + 5 AS b FROM documents
+      |  WHERE doc_id % 25 = 0),
+      |bi AS (SELECT a AS src, b AS dst FROM edges
+      |       UNION SELECT b, a FROM edges),
+      |reach(id, label) AS (
+      |  SELECT DISTINCT src, src FROM bi
+      |  UNION
+      |  SELECT b.dst, r.label FROM reach r JOIN bi b ON r.id = b.src),
+      |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+      |SELECT cc.id AS id, cc.cluster_id AS cluster_id, s.cluster_size
+      |FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size FROM cc
+      |              GROUP BY cluster_id) s USING (cluster_id)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents").select("doc_id")
+    val star = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") - col("doc_id") % 5).as("id_b"))
+    val chain = d.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 5).as("id_b"))
+    graft.dedup.Dedup.withClusterSizes(
+      graft.dedup.Dedup.dupClusters(star.unionByName(chain)))
+      .orderBy("id")
+  }
+
   // --- dedup 3: MinHash+LSH near-dups on planted duplicates (not SQL-
   //     expressible — verified in DedupSpec against a scalar oracle) --------
   register("q_dedup_minhash_lsh", null) { (s, dir) =>

@@ -203,6 +203,56 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ---- duplicate-cluster formation ----------------------------------------
+  /** Connected components over near-dup candidate pairs — the step that
+    * turns pairwise edges into the reference's duplicate clusters (its
+    * corpus carries the result as `minhash_cluster_size`,
+    * `fineweb/fineweb2_download.py:22`). Distributed min-label propagation:
+    * every node adopts the minimum label among itself and its neighbors
+    * until a fixpoint; `cluster_id` = min member id of the component.
+    *
+    * Scale shape: each iteration is one keyed join + one groupBy (both on
+    * node id — AQE coalesces), converging in O(component diameter)
+    * iterations; LSH candidate graphs have tiny diameters (the mega-bucket
+    * star cap above pins hub-and-spoke shapes at diameter 2). Lineage is
+    * cut with an eager localCheckpoint per iteration so the plan does not
+    * grow with the iteration count.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val bi = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true)
+    var labels = bi.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbr = bi.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      val updated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("new_label"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      it += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** `dupClusters` + per-cluster size (the `minhash_cluster_size` column
+    * shape) via one groupBy-join on cluster_id.
+    */
+  def withClusterSizes(clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "cluster_id")
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
+  }
+
   // ---- embedding cosine near-dup ------------------------------------------
   /** Near-duplicate embedding pairs: random-hyperplane sign buckets (LSH for
     * cosine), exact cosine verification within buckets.

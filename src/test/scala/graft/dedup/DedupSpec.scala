@@ -130,6 +130,33 @@ class DedupSpec extends AnyFunSuite {
       minJaccard = 0.5).count() == 0)
   }
 
+  test("dupClusters: components, sizes, and multi-hop chains resolve") {
+    import spark.implicits._
+    // two components: a 4-chain (1-2-3-4) and a pair (10-11); plus a
+    // star (20 ← 21,22,23) — min-label must travel the chain's diameter
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (21L, 20L), (22L, 20L), (23L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.withClusterSizes(Dedup.dupClusters(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 4L), (21L, 20L, 4L), (22L, 20L, 4L), (23L, 20L, 4L))
+    assert(got == expect)
+  }
+
+  test("dupClusters over star-capped mega-bucket pairs yields ONE cluster") {
+    val template = "pagina șablon identică pe toate gazdele acestui site " * 6
+    val rows = (1L to 300L).map(i => i -> template)
+    val df = docs(rows: _*)
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
+      minJaccard = 0.9, bucketCap = 50)
+    val cl = Dedup.withClusterSizes(Dedup.dupClusters(pairs)).collect()
+    assert(cl.length == 300)
+    assert(cl.forall(_.getLong(1) == 1L), "single cluster rooted at min id")
+    assert(cl.forall(_.getLong(2) == 300L), "cluster_size must be 300")
+  }
+
   test("doc_fingerprint is reflow-stable and content-sensitive") {
     import spark.implicits._
     val fps = Seq("Ana are  mere", "ana\nare mere", "ana are pere")
