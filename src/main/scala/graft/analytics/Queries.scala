@@ -268,6 +268,46 @@ object Queries {
       .orderBy("lang")
   }
 
+  // --- A10 derived: per-class precision/recall/F1 from the label×pred
+  //     confusion counts (results.ipynb cells 7-11 report keep/drop and
+  //     per-task class metrics). pred = label with planted confusion ------
+  register("q_class_metrics",
+    """WITH t AS (
+      |  SELECT lang AS label,
+      |         CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS pred
+      |  FROM documents),
+      |m AS (SELECT label, pred, count(*) AS n FROM t GROUP BY label, pred),
+      |diag AS (SELECT label AS c, sum(n) AS tp FROM m
+      |         WHERE label = pred GROUP BY label),
+      |predt AS (SELECT pred AS c, sum(n) AS predn FROM m GROUP BY pred),
+      |labt AS (SELECT label AS c, sum(n) AS labn FROM m GROUP BY label)
+      |SELECT labt.c AS lang,
+      |       round(coalesce(diag.tp, 0) * 1.0 / predt.predn, 6) AS precision,
+      |       round(coalesce(diag.tp, 0) * 1.0 / labt.labn, 6) AS recall,
+      |       round(2.0 * coalesce(diag.tp, 0) /
+      |             (predt.predn + labt.labn), 6) AS f1
+      |FROM labt JOIN predt ON labt.c = predt.c
+      |LEFT JOIN diag ON diag.c = labt.c
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val t0 = t(s, dir, "documents").select(col("lang").as("label"),
+      when(col("doc_id") % 7 === 0, "en").otherwise(col("lang")).as("pred"))
+    val m = t0.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    val diag = m.filter(col("label") === col("pred"))
+      .groupBy(col("label").as("c")).agg(sum("n").as("tp"))
+    val predt = m.groupBy(col("pred").as("c")).agg(sum("n").as("predn"))
+    val labt = m.groupBy(col("label").as("c")).agg(sum("n").as("labn"))
+    // F1 = 2·tp / (predn + labn) — algebraically 2PR/(P+R), no 0/0 risk
+    labt.join(predt, "c").join(diag, Seq("c"), "left")
+      .select(col("c").as("lang"),
+        round(coalesce(col("tp"), lit(0L)) * 1.0 / col("predn"), 6)
+          .as("precision"),
+        round(coalesce(col("tp"), lit(0L)) * 1.0 / col("labn"), 6)
+          .as("recall"),
+        round(lit(2.0) * coalesce(col("tp"), lit(0L)) /
+          (col("predn") + col("labn")), 6).as("f1"))
+      .orderBy("lang")
+  }
+
   // --- A11: distribution normalize (ro_vs_eng/main.ipynb cell 4) -----------
   register("q_a11_normalize",
     """SELECT lang, round(count(*) * 1.0 /
