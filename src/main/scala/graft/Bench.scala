@@ -195,6 +195,6 @@ object Bench {
       s""""host_envelope_docs_per_sec":{"n":${f"${envLows.max}%.0f"},"n4":${f"${envHighs.max}%.0f"}},""" +
       s""""scaling_efficiency_vs_host_envelope":${f"$effVsHost%.3f"}},""" +
       s""""parquet_write_docs_per_sec_throttled_disk":${f"${parquetDocs / parquetSec}%.1f"}},""" +
-      s""""queries_total_sec":${f"${results.map(_._2).sum}%.2f"}}""")
+      s""""queries_total_sec":${f"${results.map(_._2).filter(_ >= 0).sum}%.2f"}}""")
   }
 }

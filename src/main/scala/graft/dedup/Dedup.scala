@@ -63,12 +63,17 @@ object Dedup {
     *
     * Skew guard: a band bucket larger than `bucketCap` (boilerplate/template
     * mega-clusters — the one place bucketed LSH still goes quadratic) is NOT
-    * expanded all-pairs; its members pair only with the bucket's min-id
-    * representative (star pattern). Pair count in a bucket of size s drops
-    * from C(s,2) to s−1 while every member stays connected to the cluster
-    * through the representative, so downstream connected-components dedup
-    * keeps the same clusters; only the pairwise edge LIST within mega-
-    * clusters is thinned (and every emitted edge is still exact-verified).
+    * expanded all-pairs. Its candidates are (a) the bucket's members CHAINED
+    * in minhash-signature order — identical and near-identical signatures
+    * sort adjacent, so every run of true duplicates stays connected through
+    * verified edges even when the bucket mixes content families — plus (b) a
+    * star to the bucket's min-id member, which keeps component diameters
+    * small in the common one-template case. 2(s−1) edges instead of C(s,2);
+    * every emitted edge is still exact-Jaccard-verified, so a star/chain
+    * edge between dissimilar docs is dropped, never a false merge. The one
+    * honest recall caveat: NEAR-dups (J < 1) inside an oversized mixed
+    * bucket connect only if they sort adjacent or share the representative;
+    * lowering `bucketCap` restores the all-pairs guarantee bucket by bucket.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, shingleN: Int = 3,
@@ -92,12 +97,24 @@ object Dedup {
     val allPairs = smallSide.as("x").join(smallSide.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    val starPairs = sized
-      .filter(col("bsz") > bucketCap && col("id") =!= col("bmin"))
+    val big = sized.filter(col("bsz") > bucketCap)
+    val starPairs = big.filter(col("id") =!= col("bmin"))
       .select(col("bmin").as("id_a"), col("id").as("id_b"))
+    // chain in signature order: identical/near-identical signatures sort
+    // adjacent, so duplicate runs stay connected even if the star edge to
+    // the representative fails verification (mixed-content mega bucket)
+    val wOrd = Window.partitionBy("band_key")
+      .orderBy(col("minhash"), col("id"))
+    val chainPairs = big
+      .join(sigs.select(col("id"), col("minhash")), "id")
+      .withColumn("prev", lag("id", 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .select(least(col("prev"), col("id")).as("id_a"),
+        greatest(col("prev"), col("id")).as("id_b"))
 
     // distinct collapses multi-band hits
-    val pairs = allPairs.unionByName(starPairs).distinct()
+    val pairs = allPairs.unionByName(starPairs).unionByName(chainPairs)
+      .distinct()
 
     // verification: exact Jaccard over shingle SETS of the candidates only
     // (one intersection per pair; union size derived)
@@ -211,12 +228,19 @@ object Dedup {
     * every node adopts the minimum label among itself and its neighbors
     * until a fixpoint; `cluster_id` = min member id of the component.
     *
-    * Scale shape: each iteration is one keyed join + one groupBy (both on
-    * node id — AQE coalesces), converging in O(component diameter)
-    * iterations; LSH candidate graphs have tiny diameters (the mega-bucket
-    * star cap above pins hub-and-spoke shapes at diameter 2). Lineage is
-    * cut with an eager localCheckpoint per iteration so the plan does not
-    * grow with the iteration count.
+    * Scale shape: each iteration is a neighbor-min propagation (keyed join
+    * + groupBy on node id — AQE coalesces) followed by a POINTER JUMP
+    * (label := label(label), one self-join), which halves remaining label
+    * distances — convergence in O(log component-diameter) iterations, so a
+    * chain of 10^6 drifting duplicates resolves within ~20 rounds where
+    * plain propagation would need 10^6. Lineage is cut with an eager
+    * localCheckpoint per iteration (the plan does not grow with the
+    * iteration count); superseded per-iteration checkpoints become
+    * unreachable on reassignment and Spark's ContextCleaner unpersists
+    * their blocks on GC, bounding resident copies.
+    *
+    * Throws IllegalStateException instead of returning a silent non-fixpoint
+    * if `maxIter` is hit while labels are still moving.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25): DataFrame = {
@@ -229,17 +253,30 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // (1) adopt the minimum label among self and neighbors
       val nbr = bi.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
-      val updated = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"), col("label"),
+      val propagated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("new_label"))
+            .as("mid_label"))
+        .localCheckpoint(true) // materialize once: feeds both join sides
+      // (2) pointer jump: label := label(label). Every label IS a node id
+      // (labels start as ids and only ever take other nodes' labels) and
+      // label(x) ≤ x, so the inner self-join is total and monotone.
+      val parents = propagated
+        .select(col("id").as("pid"), col("mid_label").as("plabel"))
+      val updated = propagated.join(parents,
+          propagated("mid_label") === parents("pid"))
+        .select(col("id"), col("old_label"), col("plabel").as("new_label"))
         .localCheckpoint(true)
-      changed = updated.filter(col("new_label") < col("label")).count()
+      changed = updated.filter(col("new_label") < col("old_label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
       it += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"dupClusters did not reach a fixpoint in $maxIter iterations " +
+        s"($changed labels still moving) — raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -52,10 +52,9 @@ object Multimodal {
     else if (at(0) == 0x49 && at(1) == 0x44 && at(2) == 0x33) "audio/mpeg"
     else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3)
       "video/webm"
-    else if (p.length >= 5 &&
-      (new String(p, 0, 5, "ISO-8859-1").equalsIgnoreCase("<html") ||
-        new String(p, 0, math.min(5, p.length), "ISO-8859-1").startsWith("<!DO")))
-      "text/html"
+    else if ((p.length >= 5 && new String(p, 0, 5, "ISO-8859-1") == "<html") ||
+      (p.length >= 4 && new String(p, 0, 4, "ISO-8859-1") == "<!DO"))
+      "text/html" // exactly the Column version's byte patterns — parity
     else "application/octet-stream"
   }
 

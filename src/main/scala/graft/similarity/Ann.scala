@@ -79,9 +79,11 @@ object Ann {
       embCol: String, k: Int, planes: Int = 8, dim: Int = 64,
       probeRadius: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(planes <= 24, "enumerate probe masks over ≤ 24 planes")
-    val masks: Seq[Column] = (0L until (1L << planes))
-      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    require(planes <= 24, "probe-mask fan-out over ≤ 24 planes")
+    // enumerate the kept masks directly — O(Σ C(planes,r)), never 2^planes
+    val masks: Seq[Column] = (0 to math.min(probeRadius, planes))
+      .flatMap(r => (0 until planes).combinations(r)
+        .map(bits => bits.foldLeft(0L)((m, b) => m | (1L << b))))
       .map(lit)
     val q = queries
       .select(col(qId).as("query_id"), col(embCol).as("q_emb"),

@@ -83,31 +83,12 @@ object LangIdModel extends Serializable {
 
   /** Linear score: mean hashed-n-gram weight over the (padded, lowercased)
     * prefix. Pure per-row Float math in a fixed order ⇒ deterministic.
+    * Tokenization is the shared [[Grams]] stream.
     */
   def rawScore(text: String, w: Array[Float]): Float = {
-    if (text == null || text.isEmpty) return 0.0f
-    val len = math.min(text.length, MaxChars)
-    val sb = new java.lang.StringBuilder(len + 2)
-    sb.append(' ')
-    var i = 0
-    while (i < len) {
-      val c = text.charAt(i)
-      sb.append(if (c == '\n' || c == '\t') ' ' else Character.toLowerCase(c))
-      i += 1
-    }
-    sb.append(' ')
     var sum = 0.0f
-    var count = 0
-    var n = MinN
-    while (n <= MaxN) {
-      var j = 0
-      while (j + n <= sb.length) {
-        sum += w(bucket(sb, j, j + n))
-        count += 1
-        j += 1
-      }
-      n += 1
-    }
+    val count = Grams.foreachBucket(text, MaxChars, MinN, MaxN, HashSalt,
+      Mask.toLong)(b => sum += w(b))
     if (count == 0) 0.0f else sum / count
   }
 
@@ -149,30 +130,10 @@ object LangIdModel extends Serializable {
   def topLangs(text: String,
       lw: Array[Array[Float]] = multiWeights): Seq[(String, Double)] = {
     val sums = new Array[Double](lw.length)
-    var count = 0
-    if (text != null && !text.isEmpty) {
-      val len = math.min(text.length, MaxChars)
-      val sb = new java.lang.StringBuilder(len + 2)
-      sb.append(' ')
-      var i = 0
-      while (i < len) {
-        val c = text.charAt(i)
-        sb.append(if (c == '\n' || c == '\t') ' ' else Character.toLowerCase(c))
-        i += 1
-      }
-      sb.append(' ')
-      var n = MinN
-      while (n <= MaxN) {
-        var j = 0
-        while (j + n <= sb.length) {
-          val b = bucket(sb, j, j + n)
-          var l = 0
-          while (l < lw.length) { sums(l) += lw(l)(b); l += 1 }
-          count += 1
-          j += 1
-        }
-        n += 1
-      }
+    val count = Grams.foreachBucket(text, MaxChars, MinN, MaxN, HashSalt,
+      Mask.toLong) { b =>
+      var l = 0
+      while (l < lw.length) { sums(l) += lw(l)(b); l += 1 }
     }
     val logits = sums.map(s => if (count == 0) 0.0 else MultiGain * s / count)
     val m = logits.max

@@ -97,39 +97,14 @@ object TaskScorer extends Serializable {
     new Weights(reg, tasks)
   }
 
-  /** Hashed n-gram bucket stream of the normalized (lowercased,
-    * whitespace-folded, space-padded) text prefix — same normalization as
-    * [[LangIdModel.rawScore]] so the two scorers see one tokenization.
+  /** Hashed n-gram bucket stream — the shared [[Grams]] tokenization (one
+    * definition with [[LangIdModel]]), under this scorer's salt and mask.
     */
   def gramBuckets(text: String): Array[Int] = {
-    if (text == null || text.isEmpty) return Array.emptyIntArray
-    val len = math.min(text.length, MaxChars)
-    val sb = new java.lang.StringBuilder(len + 2)
-    sb.append(' ')
-    var i = 0
-    while (i < len) {
-      val c = text.charAt(i)
-      sb.append(if (c == '\n' || c == '\t') ' ' else Character.toLowerCase(c))
-      i += 1
-    }
-    sb.append(' ')
-    val L = sb.length
-    var total = 0
-    var n = MinN
-    while (n <= MaxN) { total += math.max(0, L - n + 1); n += 1 }
-    val out = new Array[Int](total)
-    var k = 0
-    n = MinN
-    while (n <= MaxN) {
-      var j = 0
-      while (j + n <= L) {
-        out(k) = (Det.hashString(sb, j, j + n, HashSalt) & Mask).toInt
-        k += 1
-        j += 1
-      }
-      n += 1
-    }
-    out
+    val ab = new scala.collection.mutable.ArrayBuilder.ofInt
+    Grams.foreachBucket(text, MaxChars, MinN, MaxN, HashSalt, Mask.toLong)(
+      ab += _)
+    ab.result()
   }
 
   /** Numerically-stable softmax (the reference's `torch.softmax(dim=1)`). */

@@ -94,16 +94,53 @@ class DedupSpec extends AnyFunSuite {
       2002L -> ("alte cuvinte fără nicio legătură cu șablonul " * 6))
     val rows = (1L to 1000L).map(i => i -> template) ++ uniq
     val df = docs(rows: _*)
-    val pairs = Dedup.minhashNearDups(df, "doc_id", "text",
-      minJaccard = 0.9, bucketCap = 100).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairsDf = Dedup.minhashNearDups(df, "doc_id", "text",
+      minJaccard = 0.9, bucketCap = 100)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.length < 5000, s"pair explosion: ${pairs.length} pairs")
     assert(pairs.length >= 999, s"cluster under-connected: ${pairs.length}")
-    // every cluster member connects to the representative (id 1)
-    val members = pairs.collect { case (1L, b) => b }.toSet
-    assert(members == (2L to 1000L).toSet, "star edges must cover the cluster")
     assert(!pairs.exists(p => p._1 > 2000L || p._2 > 2000L),
       "unique docs must not pair")
+    // the thinned edge list must still form ONE component over all 1000
+    val cl = Dedup.dupClusters(pairsDf).collect()
+    assert(cl.length == 1000)
+    assert(cl.forall(_.getLong(1) == 1L), "cluster split by the cap")
+  }
+
+  test("mixed-family mega buckets: no false merge, no split, bounded pairs") {
+    // two LARGE template families whose texts are near (J ≈ 0.8 < 0.9):
+    // they share band buckets with high probability, so capped buckets mix
+    // families — the verified star/chain edges must keep each family
+    // connected and must NOT merge the families
+    val tA = "unu doi trei patru cinci șase șapte opt nouă zece " * 6
+    val tB = tA.replace("cinci", "chiar").replace("opt", "alt")
+      .replace("doi", "roi")
+    val rows = (1L to 200L).map(i => i -> tA) ++
+      (201L to 400L).map(i => i -> tB)
+    val pairsDf = Dedup.minhashNearDups(docs(rows: _*), "doc_id", "text",
+      minJaccard = 0.9, bucketCap = 50)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length < 20000, s"pair explosion: ${pairs.length}")
+    assert(!pairs.exists(p => p._1 <= 200L && p._2 > 200L),
+      "families must not cross-pair below the jaccard threshold")
+    val cl = Dedup.withClusterSizes(Dedup.dupClusters(pairsDf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cl.length == 400)
+    assert(cl.filter(_._1 <= 200L).forall(c => c._2 == 1L && c._3 == 200L),
+      "family A split")
+    assert(cl.filter(_._1 > 200L).forall(c => c._2 == 201L && c._3 == 200L),
+      "family B split")
+  }
+
+  test("dupClusters converges on a long path graph (pointer jumping)") {
+    import spark.implicits._
+    // a 2000-node chain has diameter 1999: plain min-label propagation
+    // needs ~2000 rounds; the pointer-jump step must close it within 25
+    val pairs = (1L until 2000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cl = Dedup.withClusterSizes(Dedup.dupClusters(pairs)).collect()
+    assert(cl.length == 2000)
+    assert(cl.forall(_.getLong(1) == 1L))
+    assert(cl.forall(_.getLong(2) == 2000L))
   }
 
   test("jaccardWithinGroupLsh agrees with exact within-group jaccard on dups") {

@@ -26,6 +26,28 @@ class MultimodalSpec extends AnyFunSuite {
       "application/octet-stream")))
   }
 
+  test("Column and scalar mime sniffers agree byte-for-byte (parity)") {
+    import spark.implicits._
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte),
+      Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte),
+      Array(0x47, 0x49, 0x46, 0x38).map(_.toByte),
+      Array(0x42, 0x4d, 0x01).map(_.toByte),
+      Array(0x49, 0x44, 0x33).map(_.toByte),
+      Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte),
+      "<html><body>x</body></html>".getBytes("UTF-8"),
+      "<HTML><body>x</body></HTML>".getBytes("UTF-8"), // case differs: octet
+      "<!DOCTYPE html><html>".getBytes("UTF-8"),
+      "<ht".getBytes("UTF-8"),
+      Array[Byte](),
+      Array(0x00, 0x01).map(_.toByte))
+    val colSide = Multimodal.withMediaMeta(payloads.toDF("payload"), "payload")
+      .select("mime").collect().map(_.getString(0))
+    val scalarSide = payloads.map(Multimodal.sniffMimeScalar)
+    assert(colSide.toSeq == scalarSide,
+      s"col=${colSide.toSeq} scalar=$scalarSide")
+  }
+
   test("media metadata columns are exact") {
     import spark.implicits._
     val payload = "<html>abc</html>".getBytes("UTF-8")
