@@ -47,4 +47,49 @@ object StreamOps {
       .agg(count(lit(1)).as("n_docs"))
       .select(col("window.start").as("window_start"), col("keep"),
         col("n_docs"))
+
+  /** Streaming exact dedup on the content digest with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a digest key only until the
+    * event-time watermark passes it, so state size is O(docs per lateness
+    * window), not O(corpus) — the streaming twin of
+    * [[graft.dedup.Dedup.exactDedup]]. Emits the first-seen row per digest.
+    */
+  def dedupStream(pages: DataFrame, lateness: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("warc_ts", lateness)
+      .dropDuplicatesWithinWatermark("digest")
+      .drop("digest")
+
+  /** Running per-host quality snapshot (docs seen / kept / mean ppl). */
+  final case class HostState(docs: Long, kept: Long, pplSum: Double)
+  final case class HostSnapshot(host: String, docs: Long, kept: Long,
+      mean_ppl: Double)
+
+  /** Custom keyed state over the annotated stream via `mapGroupsWithState`:
+    * one [[HostState]] per host, updated each micro-batch, emitting the
+    * current [[HostSnapshot]] — the pattern for any stateful per-key
+    * tracking the built-in aggregations can't express. State is explicit
+    * and timeout-free here (hosts are long-lived); a production deployment
+    * sets `GroupStateTimeout` to expire cold hosts.
+    */
+  def hostQualityState(annotated: org.apache.spark.sql.Dataset[graft.model.AnnotatedPage])
+      : org.apache.spark.sql.Dataset[HostSnapshot] = {
+    import annotated.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    annotated
+      .groupByKey(a => new java.net.URI(a.url).getHost)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (host: String, rows: Iterator[graft.model.AnnotatedPage],
+         state: org.apache.spark.sql.streaming.GroupState[HostState]) =>
+          var s = state.getOption.getOrElse(HostState(0L, 0L, 0.0))
+          rows.foreach { a =>
+            s = HostState(s.docs + 1, s.kept + (if (a.keep) 1 else 0),
+              s.pplSum + a.ppl)
+          }
+          state.update(s)
+          HostSnapshot(host, s.docs, s.kept,
+            if (s.docs == 0) 0.0 else s.pplSum / s.docs)
+      }
+  }
 }

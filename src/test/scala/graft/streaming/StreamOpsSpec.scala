@@ -30,6 +30,75 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup keeps one row per content digest (bounded state)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_sdedup").toString
+    val pages = SynthPages.pages(spark, 200L).toDF()
+    // plant exact duplicates under different urls
+    pages.unionByName(pages.withColumn("url", concat(col("url"), lit("-dup"))))
+      .write.parquet(s"$base/landing")
+    val stream = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(s"$base/landing")
+    val q = StreamOps.dedupStream(stream, "1 hour")
+      .writeStream.format("memory").queryName("sdedup")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sdedup").select("text").as[String].collect()
+    val distinctTexts = pages.select("text").distinct().count()
+    assert(out.length.toLong == distinctTexts,
+      s"${out.length} rows vs $distinctTexts distinct texts")
+    assert(out.toSet.size == out.length, "duplicate text survived dedup")
+  }
+
+  test("mapGroupsWithState host snapshots: batch ≡ groupBy, stream accumulates") {
+    import spark.implicits._
+    val annotated = graft.pipeline.QualityPipeline
+      .annotate(SynthPages.pages(spark, 300L))
+    // batch mode: one state pass per group ≡ a plain aggregation
+    val snap = StreamOps.hostQualityState(annotated)
+      .collect().map(s => s.host -> s).toMap
+    val expect = annotated.collect()
+      .groupBy(a => new java.net.URI(a.url).getHost)
+    assert(snap.keySet == expect.keySet)
+    expect.foreach { case (h, rows) =>
+      assert(snap(h).docs == rows.length)
+      assert(snap(h).kept == rows.count(_.keep))
+      assert(math.abs(snap(h).mean_ppl - rows.map(_.ppl).sum / rows.length) < 1e-9)
+    }
+
+    // streaming: state carries across micro-batches
+    val base = Files.createTempDirectory("graft_state").toString
+    SynthPages.pages(spark, 150L).write.parquet(s"$base/landing")
+    val stream = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(s"$base/landing").as[graft.model.Page]
+    val q = StreamOps.hostQualityState(
+        graft.pipeline.QualityPipeline.annotate(stream))
+      .writeStream.format("memory").queryName("hoststate")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // second micro-batch: 150 MORE docs (ids 150..299 of the same corpus)
+    SynthPages.pages(spark, 300L).filter(_.url.split("/").last.toLong >= 150)
+      .write.mode("append").parquet(s"$base/landing")
+    q.processAllAvailable()
+    q.stop()
+    // latest snapshot per host must equal the batch totals over all 300
+    val latest = spark.table("hoststate").as[StreamOps.HostSnapshot]
+      .collect().groupBy(_.host).map { case (h, xs) => h -> xs.maxBy(_.docs) }
+    val full = graft.pipeline.QualityPipeline
+      .annotate(SynthPages.pages(spark, 300L)).collect()
+      .groupBy(a => new java.net.URI(a.url).getHost)
+    full.foreach { case (h, rows) =>
+      assert(latest(h).docs == rows.length, s"host $h")
+      assert(latest(h).kept == rows.count(_.keep), s"host $h")
+    }
+  }
+
   test("windowed keep counts with watermark aggregate by event time") {
     val annotated = graft.pipeline.QualityPipeline
       .annotate(SynthPages.pages(spark, 300L)).toDF()
