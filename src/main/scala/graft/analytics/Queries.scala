@@ -469,39 +469,42 @@ object Queries {
   // size-ratio pruning on both engines: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
   // so J ≥ 0.9 requires the set sizes to be within 10% — checked BEFORE the
   // expensive intersect/union (standard similarity-join prefix/size filter)
-  // jaccard = i / (|A| + |B| - i): the intersection is computed ONCE per
-  // pair and the union size derived (sets are already distinct) — half the
-  // set-op cost of intersect+union, replicated on both engines
+  // Exact Jaccard similarity join via PREFIX FILTERING (Dedup
+  // .jaccardPrefixJoin): candidates come from an equi-join on
+  // (grp, prefix-token) — never a group-quadratic theta-join. Both engines
+  // apply their own prefix filter (the candidate SUPERSETS may differ — the
+  // hash orders differ — but prefix filtering is lossless, so the verified
+  // J ≥ 0.9 output is identical). jaccard = i / (|A| + |B| − i): one
+  // intersection per surviving pair.
   register("q_dedup_jaccard_group",
     """WITH sets AS (
       |  SELECT source AS grp, doc_id,
-      |         list_distinct(string_split(text, ' ')) AS sh
+      |    list_transform(
+      |      list_sort(list_transform(list_distinct(string_split(text, ' ')),
+      |        w -> {'h': hash(w), 'tok': w})),
+      |      s -> s.tok) AS sh
       |  FROM documents),
+      |ss AS (
+      |  SELECT grp, doc_id, sh, len(sh) AS sz,
+      |         sh[1 : CAST(floor(len(sh) * 0.1) AS INT) + 1] AS prefix
+      |  FROM sets WHERE len(sh) > 0),
+      |tok AS (SELECT grp, doc_id, sz, unnest(prefix) AS tok FROM ss),
       |cand AS (
-      |  SELECT x.grp AS grp, x.doc_id AS id_a, y.doc_id AS id_b,
-      |         len(list_intersect(x.sh, y.sh)) * 1.0 /
-      |           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
-      |           AS jaccard
-      |  FROM sets x JOIN sets y
-      |    ON x.grp = y.grp AND x.doc_id < y.doc_id
-      |   AND len(x.sh) >= 0.9 * len(y.sh) AND len(y.sh) >= 0.9 * len(x.sh))
+      |  SELECT DISTINCT x.grp AS grp, x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM tok x JOIN tok y
+      |    ON x.grp = y.grp AND x.tok = y.tok AND x.doc_id < y.doc_id
+      |   AND x.sz >= 0.9 * y.sz AND y.sz >= 0.9 * x.sz),
+      |v AS (
+      |  SELECT c.grp, c.id_a, c.id_b,
+      |         len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |           (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM cand c JOIN ss a ON a.doc_id = c.id_a
+      |              JOIN ss b ON b.doc_id = c.id_b)
       |SELECT grp, id_a, id_b, round(jaccard, 6) AS jaccard
-      |FROM cand WHERE jaccard >= 0.9
+      |FROM v WHERE jaccard >= 0.9
       |ORDER BY grp, id_a, id_b""".stripMargin) { (s, dir) =>
-    val sets = t(s, dir, "documents").select(col("source").as("grp"),
-      col("doc_id"), array_distinct(split(col("text"), " ")).as("sh"))
-    val sizeOk =
-      size(col("x.sh")).cast("double") >= lit(0.9) * size(col("y.sh")) &&
-      size(col("y.sh")).cast("double") >= lit(0.9) * size(col("x.sh"))
-    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
-    sets.as("x").join(sets.as("y"),
-        col("x.grp") === col("y.grp") && col("x.doc_id") < col("y.doc_id") &&
-          sizeOk)
-      .withColumn("jaccard",
-        inter.cast("double") / (size(col("x.sh")) + size(col("y.sh")) - inter))
-      .filter(col("jaccard") >= 0.9)
-      .select(col("x.grp").as("grp"), col("x.doc_id").as("id_a"),
-        col("y.doc_id").as("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    graft.dedup.Dedup.jaccardPrefixJoin(
+        t(s, dir, "documents"), "doc_id", "text", "source", minJaccard = 0.9)
       .orderBy("grp", "id_a", "id_b")
   }
 

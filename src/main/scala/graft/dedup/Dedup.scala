@@ -180,6 +180,58 @@ object Dedup {
         col("y.id").as("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact Jaccard similarity join via PREFIX FILTERING (PPJoin-style):
+    * candidate pairs come from an equi-join on (group, prefix-token)
+    * instead of a group-quadratic theta-join, so cost is driven by token
+    * co-occurrence, not group size — with EXACT results (prefix filtering
+    * is lossless, unlike the LSH variant below).
+    *
+    * Soundness: order every set by one total order (token hash, tie-broken
+    * by the token — a deterministic proxy for the classic rare-first
+    * frequency order, spreading stopwords out of the prefix). For
+    * J(A,B) ≥ t the required overlap is ≥ ⌈t·max(|A|,|B|)⌉, and two sets
+    * with that much overlap must share a token within their first
+    * |X| − ⌈t·|X|⌉ + 1 = ⌊(1−t)·|X|⌋ + 1 tokens under any common order
+    * (Chaudhuri/Xiao prefix-filter lemma) — so the token join produces a
+    * candidate superset; exact verification then keeps exactly J ≥ t.
+    */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minJaccard: Double): DataFrame = {
+    val ordered = array_sort(transform(
+      array_distinct(split(col(textCol), " ")),
+      w => struct(xxhash64(w).as("h"), w.as("tok"))))
+    val sets = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        transform(ordered, s => s.getField("tok")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+      .withColumn("prefix", slice(col("sh"), lit(1),
+        (floor(col("sz") * (1.0 - minJaccard)) + 1).cast("int")))
+    val toks = sets.select(col("grp"), col("id"), col("sz"),
+      explode(col("prefix")).as("tok"))
+    val sizeOk =
+      col("x.sz").cast("double") >= lit(minJaccard) * col("y.sz") &&
+      col("y.sz").cast("double") >= lit(minJaccard) * col("x.sz")
+    val cand = toks.as("x").join(toks.as("y"),
+        col("x.grp") === col("y.grp") && col("x.tok") === col("y.tok") &&
+          col("x.id") < col("y.id") && sizeOk)
+      .select(col("x.grp").as("grp"), col("x.id").as("id_a"),
+        col("y.id").as("id_b"))
+      .distinct()
+    val verify = sets.select(col("id"), col("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand
+      .join(verify.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(verify.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("grp"), col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Scale path for [[jaccardWithinGroup]] when groups are NOT bounded
     * (a hot `source`/host group at 100 TB): candidates must share a MinHash
     * LSH band INSIDE the group, so the quadratic blow-up is bounded by band

@@ -63,6 +63,37 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 1e-6, s"got $got expect $expect")
   }
 
+  test("jaccardPrefixJoin ≡ brute-force word-set jaccard (filter is lossless)") {
+    // docs straddling the threshold from several directions, two groups
+    val base = (1 to 20).map(i => s"cuvânt$i").mkString(" ")
+    val drop2 = (3 to 20).map(i => s"cuvânt$i").mkString(" ")        // J=18/20
+    val drop6 = (7 to 20).map(i => s"cuvânt$i").mkString(" ")        // J=14/20
+    val swap3 = ((1 to 17).map(i => s"cuvânt$i") ++
+      Seq("altul1", "altul2", "altul3")).mkString(" ")               // J=17/23
+    val other = (1 to 20).map(i => s"diferit$i").mkString(" ")       // J=0
+    val rows = Seq(1L -> base, 2L -> base, 3L -> drop2, 4L -> drop6,
+      5L -> swap3, 6L -> other, 7L -> base /* other group */)
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("grp", when(col("doc_id") === 7, "g2").otherwise("g1"))
+    val t = 0.7
+    val got = Dedup.jaccardPrefixJoin(df, "doc_id", "text", "grp", t)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // scalar brute force over word sets
+    val sets = rows.map { case (id, tx) =>
+      id -> tx.split(" ").filter(_.nonEmpty).toSet }.toMap
+    val grpOf = (id: Long) => if (id == 7L) "g2" else "g1"
+    val expect = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a < b && grpOf(a) == grpOf(b)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= t
+    } yield (grpOf(a), a, b, math.rint(j * 1e6) / 1e6)).toSet
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
   test("simhash: identical docs hamming 0; perturbed docs near; unrelated far") {
     import spark.implicits._
     val base = "unu doi trei patru cinci șase șapte opt nouă zece " * 8
