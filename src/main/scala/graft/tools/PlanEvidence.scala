@@ -85,6 +85,14 @@ object PlanEvidence {
       "Exchange before the output sort.")(
       graft.analytics.Queries.all("q_smallmodel_records")(spark, sf))
 
+    section("Exact Jaccard via prefix filter — token equi-join, no " +
+      "quadratic theta-join (q_dedup_jaccard_group)",
+      "Candidates come from a SortMergeJoin/ShuffledHashJoin on " +
+      "(grp, prefix-token) — an EQUI join — with the verification joining " +
+      "sets back per candidate id; no nested-loop/theta join over group " +
+      "members appears anywhere in the plan.")(
+      graft.analytics.Queries.all("q_dedup_jaccard_group")(spark, sf))
+
     section("Distributed global row_number — no single-partition window " +
       "(q_j2_rownumber_align)",
       "`Align.withGlobalRowNumber`: RangePartitioning exchange + window " +

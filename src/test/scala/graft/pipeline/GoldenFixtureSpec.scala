@@ -38,4 +38,23 @@ class GoldenFixtureSpec extends AnyFunSuite {
     }
     assert(mismatches == 0, s"$mismatches rows diverge from the golden fixture")
   }
+
+  test("crawl-snapshot labels are ISO-consistent at year boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ISO facts: 2024-12-31 (Tue) is week 1 of week-year 2025;
+    // 2027-01-01 (Fri) is week 53 of week-year 2026; 2025-01-01 (Wed) is
+    // week 1 of 2025. The calendar-year pairing would emit the impossible
+    // labels 2024-01 and 2027-53.
+    val rows = Seq("2024-12-31 12:00:00", "2025-01-01 12:00:00",
+      "2026-12-28 12:00:00", "2027-01-01 12:00:00")
+      .map(java.sql.Timestamp.valueOf)
+      .toDF("warc_ts")
+    val got = rows
+      .select(QualityPipeline.snapshotCol(col("warc_ts")).as("snap"))
+      .collect().map(_.getString(0))
+    assert(got.sameElements(Array(
+      "CC-MAIN-2025-01", "CC-MAIN-2025-01",
+      "CC-MAIN-2026-53", "CC-MAIN-2026-53")), got.toSeq.toString)
+  }
 }
