@@ -486,20 +486,22 @@ object Queries {
       |  FROM documents),
       |ss AS (
       |  SELECT grp, doc_id, sh, len(sh) AS sz,
-      |         sh[1 : CAST(floor(len(sh) * 0.1) AS INT) + 1] AS prefix
+      |         sh[1 : CAST(len(sh)
+      |           - ceil(len(sh) * 0.9 - 0.000000001) + 1 AS INT)] AS prefix
       |  FROM sets WHERE len(sh) > 0),
       |tok AS (SELECT grp, doc_id, sz, unnest(prefix) AS tok FROM ss),
       |cand AS (
       |  SELECT DISTINCT x.grp AS grp, x.doc_id AS id_a, y.doc_id AS id_b
       |  FROM tok x JOIN tok y
       |    ON x.grp = y.grp AND x.tok = y.tok AND x.doc_id < y.doc_id
-      |   AND x.sz >= 0.9 * y.sz AND y.sz >= 0.9 * x.sz),
+      |   AND x.sz >= 0.9 * y.sz - 0.000000001
+      |   AND y.sz >= 0.9 * x.sz - 0.000000001),
       |v AS (
       |  SELECT c.grp, c.id_a, c.id_b,
       |         len(list_intersect(a.sh, b.sh)) * 1.0 /
       |           (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) AS jaccard
-      |  FROM cand c JOIN ss a ON a.doc_id = c.id_a
-      |              JOIN ss b ON b.doc_id = c.id_b)
+      |  FROM cand c JOIN ss a ON a.doc_id = c.id_a AND a.grp = c.grp
+      |              JOIN ss b ON b.doc_id = c.id_b AND b.grp = c.grp)
       |SELECT grp, id_a, id_b, round(jaccard, 6) AS jaccard
       |FROM v WHERE jaccard >= 0.9
       |ORDER BY grp, id_a, id_b""".stripMargin) { (s, dir) =>

@@ -165,10 +165,13 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     // size-ratio pruning (similarity-join standard): J(A,B) ≤ min/max of the
     // set sizes, so J ≥ t requires min ≥ t·max — evaluated in the join
-    // condition before the expensive intersection
+    // condition before the expensive intersection. 1e-9 slack: binary-float
+    // products of integer sizes can misround above the exact boundary
     val sizeOk =
-      size(col("x.sh")).cast("double") >= lit(minJaccard) * size(col("y.sh")) &&
-      size(col("y.sh")).cast("double") >= lit(minJaccard) * size(col("x.sh"))
+      size(col("x.sh")).cast("double") >=
+        lit(minJaccard) * size(col("y.sh")) - 1e-9 &&
+      size(col("y.sh")).cast("double") >=
+        lit(minJaccard) * size(col("x.sh")) - 1e-9
     // |A∪B| = |A| + |B| − |A∩B| for distinct sets: one intersection, no union
     val inter = size(array_intersect(col("x.sh"), col("y.sh")))
     sets.as("x").join(sets.as("y"),
@@ -200,30 +203,38 @@ object Dedup {
     val ordered = array_sort(transform(
       array_distinct(split(col(textCol), " ")),
       w => struct(xxhash64(w).as("h"), w.as("tok"))))
+    // prefix length sz − ⌈t·sz⌉ + 1 with a 1e-9 slack inside the ceil:
+    // pure binary-float arithmetic misrounds integer products (0.9·20 and
+    // 1.0−0.9 both land off-integer), which would shorten the prefix by one
+    // exactly at threshold boundaries and silently drop J = t pairs. The
+    // slack can only LENGTHEN a prefix (recall-safe), never shorten it.
     val sets = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
         transform(ordered, s => s.getField("tok")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
       .withColumn("prefix", slice(col("sh"), lit(1),
-        (floor(col("sz") * (1.0 - minJaccard)) + 1).cast("int")))
+        (col("sz") - ceil(col("sz") * minJaccard - lit(1e-9)) + 1)
+          .cast("int")))
     val toks = sets.select(col("grp"), col("id"), col("sz"),
       explode(col("prefix")).as("tok"))
+    // same slack on the size-ratio bound: |B| = t·|A| exactly must survive
     val sizeOk =
-      col("x.sz").cast("double") >= lit(minJaccard) * col("y.sz") &&
-      col("y.sz").cast("double") >= lit(minJaccard) * col("x.sz")
+      col("x.sz").cast("double") >= lit(minJaccard) * col("y.sz") - 1e-9 &&
+      col("y.sz").cast("double") >= lit(minJaccard) * col("x.sz") - 1e-9
     val cand = toks.as("x").join(toks.as("y"),
         col("x.grp") === col("y.grp") && col("x.tok") === col("y.tok") &&
           col("x.id") < col("y.id") && sizeOk)
       .select(col("x.grp").as("grp"), col("x.id").as("id_a"),
         col("y.id").as("id_b"))
       .distinct()
-    val verify = sets.select(col("id"), col("sh"))
+    // verify joins on (grp, id): ids may repeat across groups
+    val verify = sets.select(col("grp"), col("id"), col("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     cand
       .join(verify.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sh", "sh_a"), "id_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("grp", "id_a"))
       .join(verify.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("grp", "id_b"))
       .withColumn("jaccard",
         inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter))
@@ -250,8 +261,8 @@ object Dedup {
     val banded = sigs.select(col("grp"), col("id"), size(col("sh")).as("ssz"),
       explode(array((0 until Bands).map(bandKey): _*)).as("band_key"))
     val sizeOk =
-      col("x.ssz").cast("double") >= lit(minJaccard) * col("y.ssz") &&
-      col("y.ssz").cast("double") >= lit(minJaccard) * col("x.ssz")
+      col("x.ssz").cast("double") >= lit(minJaccard) * col("y.ssz") - 1e-9 &&
+      col("y.ssz").cast("double") >= lit(minJaccard) * col("x.ssz") - 1e-9
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.grp") === col("y.grp") &&
           col("x.band_key") === col("y.band_key") &&
@@ -259,11 +270,14 @@ object Dedup {
       .select(col("x.grp").as("grp"), col("x.id").as("id_a"),
         col("y.id").as("id_b"))
       .distinct()
-    val sets = sigs.select(col("id"), col("sh"))
+    // verify joins on (grp, id): ids may repeat across groups
+    val sets = sigs.select(col("grp"), col("id"), col("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(sets.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("grp", "id_a"))
+      .join(sets.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("grp", "id_b"))
       .withColumn("jaccard",
         inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter))

@@ -66,6 +66,27 @@ object StreamOps {
   final case class HostSnapshot(host: String, docs: Long, kept: Long,
       mean_ppl: Double)
 
+  /** Total host extraction — never throws, never null: java.net.URI on
+    * well-formed URLs, plain substring parse on anything crawl data throws
+    * at it (illegal characters, scheme-less forms). A malformed URL must
+    * not be able to fail the streaming query or corrupt state keys.
+    */
+  def hostOf(url: String): String = {
+    def fallback: String = {
+      val i = url.indexOf("://")
+      val rest = if (i >= 0) url.substring(i + 3) else url
+      val end = rest.indexOf('/')
+      val h = if (end >= 0) rest.substring(0, end) else rest
+      if (h.isEmpty) "unknown" else h
+    }
+    if (url == null || url.isEmpty) "unknown"
+    else
+      try {
+        val h = new java.net.URI(url).getHost
+        if (h != null) h else fallback
+      } catch { case _: Exception => fallback }
+  }
+
   /** Custom keyed state over the annotated stream via `mapGroupsWithState`:
     * one [[HostState]] per host, updated each micro-batch, emitting the
     * current [[HostSnapshot]] — the pattern for any stateful per-key
@@ -78,7 +99,7 @@ object StreamOps {
     import annotated.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     annotated
-      .groupByKey(a => new java.net.URI(a.url).getHost)
+      .groupByKey(a => hostOf(a.url))
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (host: String, rows: Iterator[graft.model.AnnotatedPage],
          state: org.apache.spark.sql.streaming.GroupState[HostState]) =>

@@ -94,6 +94,40 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("jaccardPrefixJoin keeps pairs EXACTLY at the threshold (float guard)") {
+    // |A| = 20, B ⊂ A with |B| = 18 → J = 18/20 = 0.9 = t exactly.
+    // A binary-float prefix length (floor(20·(1−0.9))+1 = 2 instead of 3)
+    // silently dropped this pair; the integer-robust ceil keeps it.
+    import spark.implicits._
+    val aTokens = (1 to 20).map(i => s"tok$i")
+    for (dropA <- Seq(Seq(1, 2), Seq(19, 20), Seq(7, 13))) {
+      val b = aTokens.zipWithIndex
+        .collect { case (t, i) if !dropA.contains(i + 1) => t }
+      val df = Seq(1L -> aTokens.mkString(" "), 2L -> b.mkString(" "))
+        .toDF("doc_id", "text").withColumn("grp", lit("g"))
+      val got = Dedup.jaccardPrefixJoin(df, "doc_id", "text", "grp", 0.9)
+        .collect()
+      assert(got.length == 1, s"boundary pair lost (drop=$dropA)")
+      assert(got.head.getDouble(3) == 0.9)
+    }
+  }
+
+  test("jaccardPrefixJoin: duplicate ids across groups never cross-verify") {
+    import spark.implicits._
+    val x = (1 to 20).map(i => s"cuv$i").mkString(" ")
+    val y = (1 to 20).map(i => s"alt$i").mkString(" ")
+    val df = Seq(("a", 1L, x), ("b", 1L, y), ("a", 2L, x))
+      .toDF("grp", "doc_id", "text")
+    val got = Dedup.jaccardPrefixJoin(df, "doc_id", "text", "grp", 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // exactly ONE row: (a, 1, 2, 1.0); id 1 of group b must not leak in
+    assert(got.toSeq == Seq(("a", 1L, 2L, 1.0)), got.toSeq.toString)
+    val lsh = Dedup.jaccardWithinGroupLsh(df, "doc_id", "text", "grp", 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(lsh.toSeq == Seq(("a", 1L, 2L)), lsh.toSeq.toString)
+  }
+
   test("simhash: identical docs hamming 0; perturbed docs near; unrelated far") {
     import spark.implicits._
     val base = "unu doi trei patru cinci șase șapte opt nouă zece " * 8

@@ -99,6 +99,16 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hostOf is total: malformed and scheme-less URLs never throw") {
+    assert(StreamOps.hostOf("https://site3.example.ro/pagina/7") ==
+      "site3.example.ro")
+    assert(StreamOps.hostOf("http://ex ample.com/a") == "ex ample.com")
+    assert(StreamOps.hostOf("example.com/x") == "example.com")
+    assert(StreamOps.hostOf("") == "unknown")
+    assert(StreamOps.hostOf(null) == "unknown")
+    assert(StreamOps.hostOf("http:///nohost") == "unknown")
+  }
+
   test("windowed keep counts with watermark aggregate by event time") {
     val annotated = graft.pipeline.QualityPipeline
       .annotate(SynthPages.pages(spark, 300L)).toDF()
