@@ -197,6 +197,15 @@ class DedupSpec extends AnyFunSuite {
       "family B split")
   }
 
+  test("dupClusters fails loudly when maxIter is too small (no silent wrong labels)") {
+    import spark.implicits._
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(pairs, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("dupClusters converges on a long path graph (pointer jumping)") {
     import spark.implicits._
     // a 2000-node chain has diameter 1999: plain min-label propagation

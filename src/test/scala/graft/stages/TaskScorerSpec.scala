@@ -85,6 +85,24 @@ class TaskScorerSpec extends AnyFunSuite {
     }
   }
 
+  test("TopK at k == number of classes emits the full sorted ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TopK
+    val probs = Array(0.05, 0.4, 0.1, 0.2, 0.15, 0.1)
+    val out = Seq((1L, probs)).toDF("id", "probs")
+      .select(col("id") +: TopK.topKClassColumns(col("probs"),
+        Taxonomy.ageGroups, k = 6, "ag"): _*).head()
+    val expect = TaskScorer.topK(probs, 6)
+    (0 until 6).foreach { j =>
+      assert(out.getString(1 + 2 * j) == Taxonomy.ageGroups(expect(j)._1))
+    }
+    // probs column is a descending permutation of the input
+    val got = (0 until 6).map(j => out.getDouble(2 + 2 * j))
+    assert(got.sorted.reverse == got)
+    assert(got.sorted == probs.sorted.toSeq)
+  }
+
   test("Column-side TopK extraction agrees with the scalar topK") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
