@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FingerprintExpr, MinHashSigExpr, ShingleHashesExpr, SimHash64Expr}
+import graft.functions.{CosineSimExpr, FingerprintExpr, HyperplaneBucketExpr, MinHashSigExpr, ShingleHashesExpr, SimHash64Expr}
 import graft.stages.{CnpCountExpr, CnpScrubExpr}
 
 /** SQL surface for the native expressions: usable either as a session
@@ -43,7 +43,15 @@ object GraftFunctions {
     ("minhash_signature",
       info("minhash_signature", "k-minhash signature of shingle hashes (k literal)"),
       (es: Seq[Expression]) => MinHashSigExpr(es.head,
-        es(1).eval().asInstanceOf[Int]))
+        es(1).eval().asInstanceOf[Int])),
+    ("cosine_sim",
+      info("cosine_sim", "exact cosine similarity of two array<double>"),
+      (es: Seq[Expression]) => CosineSimExpr(es.head, es(1))),
+    ("hyperplane_bucket",
+      info("hyperplane_bucket",
+        "sign-bit hyperplane LSH bucket of array<double> (planes, dim literals)"),
+      (es: Seq[Expression]) => HyperplaneBucketExpr(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]))
   )
 
   /** Registers everything on an already-running session. */

@@ -18,8 +18,16 @@ import graft.synth.Det
   */
 object Ann {
 
-  /** Exact cosine similarity between two array<float/double> columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Exact cosine similarity between two array<double> columns — a native
+    * codegen Expression (one pass). Catalyst higher-order functions are
+    * CodegenFallback, so the HOF formulation below exists only as the
+    * parity reference ([[cosineHof]], AnnSpec pins bit-identity).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
+
+  /** HOF reference implementation of [[cosine]] (parity tests only). */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
@@ -32,8 +40,15 @@ object Ann {
     (0 until dim).map(d =>
       if ((Det.mix64(p.toLong * 7919L + d * 104729L) & 1L) == 0L) 1.0 else -1.0)
 
-  /** Sign-bit bucket id from `planes` hyperplanes — the cosine-LSH key. */
-  def hyperplaneBucket(emb: Column, planes: Int, dim: Int): Column = {
+  /** Sign-bit bucket id from `planes` hyperplanes — the cosine-LSH key.
+    * Native Expression: ONE pass per plane over a cached ±1 matrix instead
+    * of `planes` interpreted HOF traversals per row.
+    */
+  def hyperplaneBucket(emb: Column, planes: Int, dim: Int): Column =
+    graft.functions.VectorFunctions.hyperplane_bucket(emb, planes, dim)
+
+  /** HOF reference implementation of [[hyperplaneBucket]] (parity only). */
+  private[graft] def hyperplaneBucketHof(emb: Column, planes: Int, dim: Int): Column = {
     val bits: Seq[Column] = (0 until planes).map { p =>
       val plane = typedlit(planeVec(p, dim))
       val dot = aggregate(zip_with(emb, plane, (x, y) => x * y),

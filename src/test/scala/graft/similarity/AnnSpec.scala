@@ -74,6 +74,23 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("native cosine/bucket Expressions are bit-identical to the HOF forms") {
+    val df = corpus(300)
+    val cos = df.as("a").crossJoin(df.limit(5).as("b"))
+      .select(
+        Ann.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        Ann.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .collect()
+    assert(cos.length == 1500)
+    cos.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"cosine diverges: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    val buckets = df.select(
+        Ann.hyperplaneBucket(col("embedding"), 8, dim).as("native"),
+        Ann.hyperplaneBucketHof(col("embedding"), 8, dim).as("hof"))
+      .collect()
+    buckets.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("hyperplane bucket is deterministic and balanced enough") {
     val df = corpus(500)
     val buckets = df.select(
