@@ -28,17 +28,34 @@ object Align {
       out: String, numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // The range exchange samples sort-key boundaries per execution: if the
+    // census and the ranking each planned their OWN exchange (column pruning
+    // makes the two subtrees non-identical, so ReusedExchange does not fire),
+    // the two executions could sample DIFFERENT boundaries and the offsets
+    // would be added against the wrong partition counts — silently wrong
+    // global numbers at scale. So `ranged` is persisted and the census below
+    // MATERIALIZES it eagerly; both the offsets and the ranking then read the
+    // one cached partitioning. A cache-evicted block recomputes through the
+    // already-built shuffle dependency (map outputs + fixed RangePartitioner),
+    // never through a fresh boundary sample.
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-    // per-partition counts → cumulative offsets (manifest of n rows; the
-    // unpartitioned window here runs over n rows, not the data)
-    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off",
-        coalesce(sum("__cnt").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition counts → cumulative offsets, computed driver-side over
+    // the tiny n-row manifest (this collect is the eager materialization)
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets =
+      if (counts.isEmpty) Seq.empty[(Int, Long)]
+      else counts.scanLeft((-1, 0L)) { case ((_, cum), (pid, cnt)) =>
+        (pid, cum + cnt)
+      }.sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }
+        .toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("__pid", "__off")
     val local = Window.partitionBy("__pid").orderBy(sortCols: _*)
-    ranged.join(broadcast(offsets), "__pid")
+    ranged.join(broadcast(offsetsDf), "__pid")
       .withColumn(out, row_number().over(local) + col("__off"))
       .drop("__pid")
   }

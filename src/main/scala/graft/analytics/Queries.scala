@@ -189,6 +189,19 @@ object Queries {
       .agg(count(lit(1)).as("n")).orderBy("bucket")
   }
 
+  // --- A2 reference-bin fidelity: the reference bins score distributions by
+  //     round(score, 2) (full_dataset_analysis/main.py:19) — same operator
+  //     as q_a2_histogram with the reference's exact bin function ------------
+  register("q_a2_histogram_round",
+    """SELECT round(value, 2) AS bucket, count(*) AS n
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(round(col("value"), 2).as("bucket"))
+      .agg(count(lit(1)).as("n")).orderBy("bucket")
+  }
+
   // --- A3: min/max (main.py:52) ---------------------------------------------
   register("q_a3_minmax",
     """SELECT round(min(l_extendedprice), 2) AS min_price,
@@ -253,7 +266,9 @@ object Queries {
 
   // --- A10 wide form: label×pred pivoted confusion matrix (comparison.py:136,
   //     results.ipynb cells 6-11) — groupBy(label).pivot(pred).count() --------
-  private val pivotSources: Seq[String] = (0 until 20).map(i => s"src$i")
+  // the testdata contract's source domain — ONE definition feeds both the
+  // Spark pivot's value list and the oracle's FILTER columns
+  private val pivotSources: Seq[String] = graft.model.TestTables.documentSources
   register("q_a10_confusion_pivot",
     s"""SELECT lang,
        |${pivotSources.map(s =>
@@ -392,22 +407,19 @@ object Queries {
       .orderBy("p_partkey")
   }
 
-  // --- A4: exact percentile grid (quantiles_fetcher.py:56-65, grid :61) ----
+  // --- A4: exact percentile grid — the reference's FULL 10-point grid
+  //     90.5…95.0 step 0.5 (quantiles_fetcher.py:56-65, grid :61), generated
+  //     from the one DerivedThresholds.ReferenceGrid definition on both the
+  //     Spark and oracle sides --------------------------------------------
+  private def gridName(q: Double): String = s"p${math.round(q * 1000)}"
   register("q_a4_percentile_grid",
-    """SELECT round(quantile_cont(value, 0.905), 6) AS p905,
-      |       round(quantile_cont(value, 0.910), 6) AS p910,
-      |       round(quantile_cont(value, 0.920), 6) AS p920,
-      |       round(quantile_cont(value, 0.930), 6) AS p930,
-      |       round(quantile_cont(value, 0.940), 6) AS p940,
-      |       round(quantile_cont(value, 0.950), 6) AS p950
-      |FROM events""".stripMargin) { (s, dir) =>
-    t(s, dir, "events").agg(
-      round(percentile(col("value"), lit(0.905)), 6).as("p905"),
-      round(percentile(col("value"), lit(0.910)), 6).as("p910"),
-      round(percentile(col("value"), lit(0.920)), 6).as("p920"),
-      round(percentile(col("value"), lit(0.930)), 6).as("p930"),
-      round(percentile(col("value"), lit(0.940)), 6).as("p940"),
-      round(percentile(col("value"), lit(0.950)), 6).as("p950"))
+    s"""SELECT ${DerivedThresholds.ReferenceGrid.map(q =>
+         s"round(quantile_cont(value, $q), 6) AS ${gridName(q)}")
+         .mkString(",\n       ")}
+       |FROM events""".stripMargin) { (s, dir) =>
+    val aggs = DerivedThresholds.ReferenceGrid.map(q =>
+      round(percentile(col("value"), lit(q)), 6).as(gridName(q)))
+    t(s, dir, "events").agg(aggs.head, aggs.tail: _*)
   }
 
   // --- A6: mean / exact median (tokenize_fineweb2.py:33-34) ----------------
@@ -884,6 +896,81 @@ object Queries {
         col("age_group").isin(tx.ageGroups: _*) &&
         col("int_score").between(0, 5))
       .orderBy("doc_id")
+  }
+
+  // --- per-field benchmark accuracy (benchmark/benchmark_llms.py:71-88):
+  //     a small golden set (every 4th doc) joined to the full annotation
+  //     stream on doc_id, emitting accuracy for each task field — topic,
+  //     format, age_group, int_score — in ONE aggregation pass. Labels are
+  //     deterministic functions of doc_id/n_chars over the REAL taxonomies
+  //     so DuckDB reproduces them; predictions carry planted disagreement.
+  register("q_benchmark_field_accuracy", {
+    val tx = graft.model.Taxonomy
+    def lst(xs: Seq[String]) = xs.map(l => s"'$l'").mkString("[", ",", "]")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    ${lst(tx.topics)}[CAST(doc_id % 24 AS INT) + 1] AS topic,
+       |    ${lst(tx.formats)}[CAST(doc_id % 24 AS INT) + 1] AS format,
+       |    ${lst(tx.ageGroups)}[CAST(doc_id % 6 AS INT) + 1] AS age_group,
+       |    CAST(n_chars % 6 AS INT) AS int_score
+       |  FROM documents WHERE doc_id % 4 = 0),
+       |p AS (
+       |  SELECT doc_id,
+       |    ${lst(tx.topics)}[CAST((doc_id + CASE WHEN doc_id % 7 = 0
+       |      THEN 1 ELSE 0 END) % 24 AS INT) + 1] AS topic,
+       |    ${lst(tx.formats)}[CAST((doc_id + CASE WHEN doc_id % 5 = 0
+       |      THEN 2 ELSE 0 END) % 24 AS INT) + 1] AS format,
+       |    ${lst(tx.ageGroups)}[CAST((doc_id + CASE WHEN doc_id % 3 = 0
+       |      THEN 1 ELSE 0 END) % 6 AS INT) + 1] AS age_group,
+       |    CAST((n_chars + CASE WHEN doc_id % 11 = 0
+       |      THEN 1 ELSE 0 END) % 6 AS INT) AS int_score
+       |  FROM documents)
+       |SELECT
+       |  round(avg(CASE WHEN g.topic = p.topic THEN 1.0 ELSE 0.0 END), 6)
+       |    AS acc_topic,
+       |  round(avg(CASE WHEN g.format = p.format THEN 1.0 ELSE 0.0 END), 6)
+       |    AS acc_format,
+       |  round(avg(CASE WHEN g.age_group = p.age_group THEN 1.0 ELSE 0.0 END), 6)
+       |    AS acc_age_group,
+       |  round(avg(CASE WHEN g.int_score = p.int_score THEN 1.0 ELSE 0.0 END), 6)
+       |    AS acc_int_score,
+       |  count(*) AS n_docs
+       |FROM g JOIN p USING (doc_id)""".stripMargin
+  }) { (s, dir) =>
+    val tx = graft.model.Taxonomy
+    def pick(xs: Seq[String], ix: org.apache.spark.sql.Column, m: Int) =
+      element_at(typedlit(xs), (ix % m).cast("int") + 1)
+    val d = t(s, dir, "documents")
+    val golden = d.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"),
+        pick(tx.topics, col("doc_id"), 24).as("topic_g"),
+        pick(tx.formats, col("doc_id"), 24).as("format_g"),
+        pick(tx.ageGroups, col("doc_id"), 6).as("age_g"),
+        (col("n_chars") % 6).cast("int").as("score_g"))
+    val pred = d.select(col("doc_id"),
+      pick(tx.topics,
+        col("doc_id") + when(col("doc_id") % 7 === 0, 1).otherwise(0), 24)
+        .as("topic_p"),
+      pick(tx.formats,
+        col("doc_id") + when(col("doc_id") % 5 === 0, 2).otherwise(0), 24)
+        .as("format_p"),
+      pick(tx.ageGroups,
+        col("doc_id") + when(col("doc_id") % 3 === 0, 1).otherwise(0), 6)
+        .as("age_p"),
+      ((col("n_chars") + when(col("doc_id") % 11 === 0, 1).otherwise(0)) % 6)
+        .cast("int").as("score_p"))
+    // golden set is small by construction → broadcast; annotations stream
+    pred.join(broadcast(golden), "doc_id")
+      .agg(
+        round(avg(when(col("topic_g") === col("topic_p"), 1.0)
+          .otherwise(0.0)), 6).as("acc_topic"),
+        round(avg(when(col("format_g") === col("format_p"), 1.0)
+          .otherwise(0.0)), 6).as("acc_format"),
+        round(avg(when(col("age_g") === col("age_p"), 1.0)
+          .otherwise(0.0)), 6).as("acc_age_group"),
+        round(avg(when(col("score_g") === col("score_p"), 1.0)
+          .otherwise(0.0)), 6).as("acc_int_score"),
+        count(lit(1)).as("n_docs"))
   }
 
   // --- N1 multi-language: fineweb2-style top_langs map (fineweb2_download

@@ -74,23 +74,22 @@ object Dedup {
     * honest recall caveat: NEAR-dups (J < 1) inside an oversized mixed
     * bucket connect only if they sort adjacent or share the representative;
     * lowering `bucketCap` restores the all-pairs guarantee bucket by bucket.
+    *
+    * The cap is OPT-IN (default `Int.MaxValue` = exact all-pairs in every
+    * bucket): trading recall for boundedness is a deployment decision, not a
+    * default. When a cap is set, pair it with [[minhashBucketCensus]] /
+    * [[minhashNearDupsWithStats]] so the truncation is OBSERVED, not assumed
+    * absent — a 100-TB operator can't read scaladoc at runtime.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, shingleN: Int = 3,
-      bucketCap: Int = 256): DataFrame = {
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigs = withMinHash(df, textCol, shingleN)
       .select(col(idCol).as("id"), col("shingles"), col("minhash"))
       .filter(size(col("shingles")) > 0)
 
-    val banded = sigs.select(col("id"),
-      explode(array((0 until Bands).map(bandKey): _*)).as("band_key"))
-
-    // one shuffle on band_key serves both the size census and the pairing
-    val w = Window.partitionBy("band_key")
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("bmin", min("id").over(w))
+    val sized = sizedBands(sigs)
 
     val smallSide = sized.filter(col("bsz") <= bucketCap)
       .select("id", "band_key")
@@ -128,6 +127,66 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - inter2))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** One row per (id, band_key) with the bucket's size and min id — one
+    * shuffle on band_key serves both the size census and the pairing.
+    */
+  private def sizedBands(sigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = sigs.select(col("id"),
+      explode(array((0 until Bands).map(bandKey): _*)).as("band_key"))
+    val w = Window.partitionBy("band_key")
+    banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min("id").over(w))
+  }
+
+  /** Truncation telemetry for a capped [[minhashNearDups]] run: one row of
+    * `(n_buckets, capped_buckets, skipped_pairs)` where `skipped_pairs` is
+    * the per-bucket `C(s,2) − 2(s−1)` — the candidate pairs the star+chain
+    * expansion does NOT examine (an upper bound on lost NEAR-dup pairs;
+    * exact dups still connect through the chain). Zero capped buckets ⇒ the
+    * capped run was exhaustive and its recall caveat is vacuous.
+    */
+  def minhashBucketCensus(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bucketCap: Int = Int.MaxValue): DataFrame = {
+    val sigs = withMinHash(df, textCol, shingleN)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("id"), col("minhash"))
+    // `id === bmin` picks exactly one census row per bucket
+    sizedBands(sigs).filter(col("id") === col("bmin"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("bsz") > bucketCap, 1L).otherwise(0L))
+          .as("capped_buckets"),
+        sum(when(col("bsz") > bucketCap,
+          (col("bsz") * (col("bsz") - 1) / 2 - (col("bsz") - 1) * 2)
+            .cast("long"))
+          .otherwise(0L)).as("skipped_pairs"))
+  }
+
+  /** Totals from [[minhashBucketCensus]]. */
+  final case class BucketStats(nBuckets: Long, cappedBuckets: Long,
+    skippedPairs: Long)
+
+  /** [[minhashNearDups]] plus an EAGER truncation census: the stats job runs
+    * first (one aggregate over the band shuffle) and a capped run that
+    * actually truncated logs a warning, so silent recall loss is impossible.
+    */
+  def minhashNearDupsWithStats(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.8, shingleN: Int = 3,
+      bucketCap: Int = Int.MaxValue): (DataFrame, BucketStats) = {
+    val row = minhashBucketCensus(df, idCol, textCol, shingleN, bucketCap)
+      .collect()(0)
+    val stats = BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
+    if (stats.cappedBuckets > 0)
+      System.err.println(
+        s"[dedup] minhashNearDups bucketCap=$bucketCap truncated " +
+          s"${stats.cappedBuckets} bucket(s); up to ${stats.skippedPairs} " +
+          "candidate pair(s) not examined — near-dup recall inside those " +
+          "buckets is adjacency/representative only")
+    (minhashNearDups(df, idCol, textCol, minJaccard, shingleN, bucketCap),
+      stats)
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -309,41 +368,66 @@ object Dedup {
     * if `maxIter` is hit while labels are still moving.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val bi = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint(true)
-    var labels = bi.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      idB: String = "id_b", maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame =
+    dupClustersWithStats(pairs, idA, idB, maxIter, checkpointDir)._1
+
+  /** [[dupClusters]] returning also the number of propagate+jump iterations
+    * it took to converge — the O(log diameter) bound made assertable
+    * (DedupSpec pins a 10^4-node chain to ≲ 2·log₂ n iterations).
+    *
+    * `checkpointDir`: when set, per-iteration lineage cuts use RELIABLE
+    * checkpoints in that directory instead of executor-memory
+    * `localCheckpoint` — at 100-TB scale the labels don't fit (and must
+    * survive) executor memory; locally the default stays in-memory.
+    *
+    * The per-iteration changed-label count is folded into the SAME job that
+    * materializes the iteration's checkpoint (a LongAccumulator bumped by the
+    * projection), not a second pass; task retries can only overcount, and at
+    * the fixpoint nothing increments, so convergence detection stays exact.
+    */
+  def dupClustersWithStats(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val bi = cp(pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
+    var labels = cp(bi.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       // (1) adopt the minimum label among self and neighbors
       val nbr = bi.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
-      val propagated = labels.join(nbr, Seq("id"), "left")
+      val propagated = cp(labels.join(nbr, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("mid_label"))
-        .localCheckpoint(true) // materialize once: feeds both join sides
+            .as("mid_label"))) // materialize once: feeds both join sides
       // (2) pointer jump: label := label(label). Every label IS a node id
       // (labels start as ids and only ever take other nodes' labels) and
       // label(x) ≤ x, so the inner self-join is total and monotone.
       val parents = propagated
         .select(col("id").as("pid"), col("mid_label").as("plabel"))
-      val updated = propagated.join(parents,
+      val acc = spark.sparkContext.longAccumulator(s"dupClusters.changed.$it")
+      val touch = udf { chg: Boolean => if (chg) acc.add(1L); chg }
+        .asNondeterministic() // never elide/dedup the accumulator bump
+      val updated = cp(propagated.join(parents,
           propagated("mid_label") === parents("pid"))
-        .select(col("id"), col("old_label"), col("plabel").as("new_label"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("new_label") < col("old_label")).count()
+        .select(col("id"), col("plabel").as("new_label"),
+          touch(col("plabel") < col("old_label")).as("__chg")))
+      changed = acc.value // the cp() above already ran the counting job
       labels = updated.select(col("id"), col("new_label").as("label"))
       it += 1
     }
     if (changed > 0) throw new IllegalStateException(
       s"dupClusters did not reach a fixpoint in $maxIter iterations " +
         s"($changed labels still moving) — raise maxIter")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    (labels.select(col("id"), col("label").as("cluster_id")), it)
   }
 
   /** `dupClusters` + per-cluster size (the `minhash_cluster_size` column

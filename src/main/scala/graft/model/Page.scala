@@ -138,3 +138,14 @@ object Taxonomy {
   /** Adult-content topic label (`full_dataset_analysis/adult.py:8`). */
   val adultTopic: String = "Conținut pentru adulți"
 }
+
+/** The driver-generated testdata contract (TESTDATA.md, seed=42) — the ONE
+  * definition of the synthetic tables' closed domains, so a query and its
+  * oracle SQL can't drift from each other or from the corpus.
+  */
+object TestTables {
+  /** `documents.source` domain. */
+  val documentSources: Seq[String] = (0 until 20).map(i => s"src$i")
+  /** `documents.lang` domain. */
+  val documentLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+}

@@ -29,6 +29,19 @@ object Writers {
       .option("maxRecordsPerFile", shardSize)
       .parquet(path)
 
+  /** S2 (JSON form) — the reference's actual shard format: UTF-8 JSON lines
+    * with raw (non-ASCII-escaped) diacritics, `ensure_ascii=False` at
+    * `fineweb/fineweb2_download.py:32`. Spark's JSON sink writes UTF-8
+    * without \\u escapes, so Romanian text round-trips byte-identical
+    * (WritersSpec pins it).
+    */
+  def writeShardedJson(df: DataFrame, rowIdCol: String, path: String,
+      shardSize: Int = ShardSize): Unit =
+    df.withColumn("shard_id", (col(rowIdCol) / shardSize).cast("int"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", shardSize)
+      .json(path)
+
   /** S3 — dual write: primary + backup. One computation, two sinks. */
   def writeDual(df: DataFrame, primary: String, backup: String): Unit = {
     val cached = df.persist()

@@ -197,6 +197,33 @@ class DedupSpec extends AnyFunSuite {
       "family B split")
   }
 
+  test("bucket-cap truncation is OBSERVED: census fires on capped fixture, zero on clean") {
+    val template = "pagina șablon identică pe toate gazdele acestui site " * 6
+    val rows = (1L to 1000L).map(i => i -> template) ++ Seq(
+      2001L -> ("conținut complet diferit despre altceva " * 6))
+    val df = docs(rows: _*)
+    // capped run: the 1000-doc template bucket exceeds cap=100 in every band
+    val (pairs, stats) = Dedup.minhashNearDupsWithStats(df, "doc_id", "text",
+      minJaccard = 0.9, bucketCap = 100)
+    assert(stats.cappedBuckets > 0, "capped fixture must report truncation")
+    assert(stats.skippedPairs > 0)
+    // skipped ≥ C(1000,2) − 2·999 for at least one band's bucket
+    assert(stats.skippedPairs >= 1000L * 999 / 2 - 2 * 999)
+    assert(pairs.count() >= 999) // still connected via star+chain
+    // clean corpus under the same cap: census must be silent
+    val clean = docs((1L to 50L).map(i =>
+      i -> (1 to 25).map(j => s"cuvânt${i}_$j").mkString(" ")): _*)
+    val (_, cleanStats) = Dedup.minhashNearDupsWithStats(clean, "doc_id",
+      "text", minJaccard = 0.9, bucketCap = 100)
+    assert(cleanStats.cappedBuckets == 0L)
+    assert(cleanStats.skippedPairs == 0L)
+    assert(cleanStats.nBuckets > 0L)
+    // default cap is OPT-IN (Int.MaxValue): an uncapped census never trips
+    val (_, uncapped) = Dedup.minhashNearDupsWithStats(df, "doc_id", "text",
+      minJaccard = 0.9)
+    assert(uncapped.cappedBuckets == 0L)
+  }
+
   test("dupClusters fails loudly when maxIter is too small (no silent wrong labels)") {
     import spark.implicits._
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
@@ -215,6 +242,40 @@ class DedupSpec extends AnyFunSuite {
     assert(cl.length == 2000)
     assert(cl.forall(_.getLong(1) == 1L))
     assert(cl.forall(_.getLong(2) == 2000L))
+  }
+
+  test("dupClusters: 10^4-node chain converges in O(log n) iterations") {
+    import spark.implicits._
+    // diameter 9999; plain propagation needs ~10^4 rounds. Pointer jumping
+    // halves remaining label distance per iteration → ≾ 2·log₂(10^4) ≈ 27,
+    // observed well under 20. The assertion pins the COMPLEXITY CLASS, not
+    // a lucky constant: 20 « 9999.
+    val n = 10000L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (cl, iters) = Dedup.dupClustersWithStats(pairs)
+    val rows = cl.collect()
+    assert(rows.length == n)
+    assert(rows.forall(_.getLong(1) == 1L), "chain must form one cluster")
+    assert(iters <= 20, s"pointer jumping degraded: $iters iterations")
+  }
+
+  test("dupClusters with a reliable checkpoint dir matches the in-memory path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+      .toString
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val reliable = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reliable == local)
+    assert(reliable == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // the reliable path must actually have written checkpoint files
+    def anyFile(p: java.io.File): Boolean =
+      p.isFile || Option(p.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), "no reliable checkpoint written")
   }
 
   test("jaccardWithinGroupLsh agrees with exact within-group jaccard on dups") {

@@ -91,6 +91,45 @@ class AnnSpec extends AnyFunSuite {
     buckets.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("length mismatch → null (HOF parity), never a prefix-garbage value") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)), // equal: finite
+      (2L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),      // mismatch: null
+      (3L, Seq(1.0), Seq(1.0, 2.0, 3.0))).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+        Ann.cosine(col("a"), col("b")).as("native"),
+        Ann.cosineHof(col("a"), col("b")).as("hof"))
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1) && rows(0).getDouble(1) == rows(0).getDouble(2))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2), "mismatch must be null")
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    // bucket: null unless the embedding is exactly dim-long (the HOF's
+    // when(null ≥ 0) collapses to bit 0 — a spurious bucket; null keeps
+    // malformed rows out of every bucket join)
+    val b = Seq((1L, Seq(1.0, -2.0, 0.5)), (2L, Seq(1.0, -2.0)))
+      .toDF("id", "emb")
+      .select(col("id"), Ann.hyperplaneBucket(col("emb"), 4, 3).as("bk"))
+      .orderBy("id").collect()
+    assert(!b(0).isNullAt(1))
+    assert(b(1).isNullAt(1), "short embedding must not land in a bucket")
+  }
+
+  test("wrong element type is rejected at analysis, not silently misread") {
+    import spark.implicits._
+    val ints = Seq((1L, Seq(1, 2, 3))).toDF("id", "emb")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(Ann.cosine(col("emb"), col("emb"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<double>")
+      || e.getMessage.contains("cosine_sim"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(Ann.hyperplaneBucket(col("emb"), 4, 3)).collect()
+    }
+    assert(e2.getMessage.contains("hyperplane_bucket")
+      || e2.getMessage.toLowerCase.contains("array<double>"))
+  }
+
   test("hyperplane bucket is deterministic and balanced enough") {
     val df = corpus(500)
     val buckets = df.select(

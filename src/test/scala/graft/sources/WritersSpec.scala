@@ -32,6 +32,34 @@ class WritersSpec extends AnyFunSuite {
     }
   }
 
+  test("S2 JSON: diacritic text is written as raw UTF-8 bytes and " +
+      "round-trips byte-identical (ensure_ascii=False parity)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_s2json").toString
+    val texts = Seq("ăâîșț ȘȚĂÂÎ — „ghilimele” și şţ comb",
+      "plain ascii", "mixed: Țară, înțelegere, copacă")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("row_id", "text")
+    Writers.writeShardedJson(df, "row_id", base, shardSize = 1300)
+    // on-disk bytes: the diacritics appear as raw UTF-8, never \uXXXX
+    import scala.jdk.CollectionConverters._
+    val payload = Files.list(java.nio.file.Paths.get(base)).iterator().asScala
+      .filter(_.toString.endsWith(".json"))
+      .map(p => new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+      .mkString("\n")
+    assert(payload.contains("ăâîșț"), "diacritics must be raw UTF-8 on disk")
+    assert(!payload.contains("\\u0103"), "ASCII-escaped ă found — " +
+      "ensure_ascii=False parity broken")
+    // round trip: byte-identical text per row id
+    val back = spark.read.json(base).select("row_id", "text")
+      .as[(Long, String)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(back(i.toLong).getBytes("UTF-8").sameElements(t.getBytes("UTF-8")),
+        s"row $i bytes diverge after JSON round trip")
+    }
+  }
+
   test("S3: dual write produces identical primary and backup") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_s3").toString

@@ -30,6 +30,36 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("checkpoint recovery: killed stream restarted from the same checkpoint " +
+      "≡ one uninterrupted run (exactly-once output, no dup/loss)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_recover").toString
+    val all = SynthPages.pages(spark, 300L)
+    // first wave lands, stream processes it, then is STOPPED (the kill)
+    all.filter(_.url.hashCode % 2 == 0).write.parquet(s"$base/landing")
+    val q1 = StreamOps.annotateStream(spark, s"$base/landing",
+      s"$base/out", s"$base/ckpt")
+    q1.processAllAvailable()
+    q1.stop()
+    // second wave lands while the stream is down
+    all.filter(_.url.hashCode % 2 != 0).write.mode("append")
+      .parquet(s"$base/landing")
+    // restart from the SAME checkpointLocation — must resume, not reprocess
+    val q2 = StreamOps.annotateStream(spark, s"$base/landing",
+      s"$base/out", s"$base/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    val recovered = spark.read.parquet(s"$base/out")
+      .select("url", "keep").as[(String, Boolean)].collect()
+    // exactly once: every url exactly once, decisions ≡ uninterrupted batch
+    assert(recovered.length == 300, s"${recovered.length} rows ≠ 300")
+    assert(recovered.map(_._1).distinct.length == 300,
+      "duplicate urls — first wave reprocessed after restart")
+    val batch = graft.pipeline.QualityPipeline.annotate(all)
+      .collect().map(a => a.url -> a.keep).toMap
+    assert(recovered.toMap == batch)
+  }
+
   test("streaming dedup keeps one row per content digest (bounded state)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
