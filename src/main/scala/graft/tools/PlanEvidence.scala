@@ -95,11 +95,13 @@ object PlanEvidence {
 
     section("Distributed global row_number — no single-partition window " +
       "(q_j2_rownumber_align)",
-      "`Align.withGlobalRowNumber`: RangePartitioning exchange + window " +
-      "keyed by `__pid` + BroadcastHashJoin of the tiny offset manifest — " +
-      "the naive `Window [row_number()] (no partition spec)` single-task " +
-      "collapse never appears for the data; the only unpartitioned window " +
-      "runs over the numPartitions-row count manifest.")(
+      "`Align.withGlobalRowNumber`: ONE RangePartitioning exchange, " +
+      "materialized into an InMemoryTableScan that BOTH the offsets census " +
+      "and the ranking read (a second, independently-sampled range exchange " +
+      "would let the two branches see different boundaries — silently wrong " +
+      "numbering at scale), + window keyed by `__pid` + BroadcastHashJoin " +
+      "of the tiny offset manifest — the naive `Window [row_number()] (no " +
+      "partition spec)` single-task collapse never appears for the data.")(
       graft.analytics.Queries.all("q_j2_rownumber_align")(spark, sf))
 
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
