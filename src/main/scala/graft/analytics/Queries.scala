@@ -617,6 +617,19 @@ object Queries {
       "vec_id", "vec_id", "embedding", 3, planes = 6).orderBy("query_id", "rk")
   }
 
+  // --- similarity 2b: IVF-bucketed ANN (the inverted-file scale path;
+  //     deterministic sample-trained coarse quantizer; rows-only) ----------
+  register("q_ann_ivf_topk", null) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double")))
+    val cents = graft.similarity.Ann.trainIvfCentroids(
+      emb, "vec_id", "embedding", nlist = 8)
+    graft.similarity.Ann.ivfTopK(emb.filter(col("vec_id") < 50), emb,
+      "vec_id", "vec_id", "embedding", 3, cents, nprobe = 3)
+      .orderBy("query_id", "rk")
+  }
+
   // --- similarity 3: embedding near-dup pairs (rows-only; planted dups) ----
   register("q_ann_near_dups", null) { (s, dir) =>
     val emb = t(s, dir, "embeddings")

@@ -90,6 +90,128 @@ object Ann {
     * Recall/cost dial: radius 1 ≈ cheap recall boost, radius 2 for
     * recall-critical small query sets; `probeRadius = 0` is single-probe.
     */
+  // ---- IVF (inverted-file) ANN — the second scale path -------------------
+  /** Deterministic IVF coarse quantizer: Lloyd's k-means on a BOUNDED,
+    * deterministically-ordered corpus sample, trained driver-side (the
+    * Faiss pattern — train on a sample, assign at scale). Cosine metric:
+    * vectors and centroids are L2-normalized so nearest-by-dot ≡
+    * nearest-by-cosine. Empty clusters keep their previous centroid.
+    * Returns `nlist` unit-norm centroids.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
+      nlist: Int, sampleSize: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("string").as("id"), col(embCol).as("emb"))
+      .orderBy("id").limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+      .map(normalize)
+      .filter(v => v.exists(_ != 0.0))
+    require(sample.length >= nlist,
+      s"IVF training needs ≥ nlist=$nlist non-zero sample vectors, " +
+        s"got ${sample.length}")
+    var centroids = Array.tabulate(nlist)(i =>
+      sample(i * (sample.length / nlist)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else normalize(sums(c).map(_ / counts(c)))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  private[similarity] def nearestCentroid(v: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var dot = 0.0
+      var d = 0
+      val n = math.min(v.length, ct.length)
+      while (d < n) { dot += v(d) * ct(d); d += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** `nprobe` nearest centroid ids for a query vector, by descending dot
+    * (ties by centroid id).
+    */
+  private[similarity] def probeLists(v: Array[Double],
+      cents: Array[Array[Double]], nprobe: Int): Array[Int] = {
+    val nv = normalize(v)
+    cents.indices
+      .map(c => (c, nv.zip(cents(c)).map { case (x, y) => x * y }.sum))
+      .sortBy { case (c, dot) => (-dot, c) }
+      .take(nprobe).map(_._1).toArray
+  }
+
+  /** IVF-bucketed approximate top-k (the inverted-file scale path, the
+    * second ANN family next to [[lshTopK]]): the corpus is assigned to its
+    * nearest coarse centroid ONCE (one row per vector — batched
+    * mapPartitions over the broadcast centroid matrix, no shuffle on the
+    * corpus side beyond the list join), each query probes its `nprobe`
+    * nearest lists, and exact cosine ranks the candidates. Recall/cost
+    * dial: nprobe/nlist is the scanned corpus fraction for uniform lists;
+    * nprobe = nlist degenerates to exact brute force.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+      embCol: String, k: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val c = corpus
+      .select(col(cId).cast("long").as("neighbor_id"),
+        col(embCol).as("c_emb")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, emb) =>
+          (id, emb, nearestCentroid(normalize(emb.toArray), cents))
+        }
+      }.toDF("neighbor_id", "c_emb", "list_id")
+    val q = queries
+      .select(col(qId).cast("long").as("query_id"), col(embCol).as("q_emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.flatMap { case (id, emb) =>
+          probeLists(emb.toArray, cents, nprobe).map(l => (id, emb, l))
+        }
+      }.toDF("query_id", "q_emb", "list_id")
+    val scored = c.join(q, "list_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
       embCol: String, k: Int, planes: Int = 8, dim: Int = 64,
       probeRadius: Int = 1): DataFrame = {

@@ -74,6 +74,45 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k: recall grows with nprobe; nprobe = nlist is exact") {
+    val n = 400
+    val df = corpus(n)
+    val q = df.filter(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(q, df, "vec_id", "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nlist = 8
+    val cents = Ann.trainIvfCentroids(df, "vec_id", "embedding", nlist)
+    assert(cents.length == nlist)
+    // centroids are unit-norm (cosine metric contract)
+    cents.foreach { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+    val recallAt = (nprobe: Int) => {
+      val got = Ann.ivfTopK(q, df, "vec_id", "vec_id", "embedding", 3,
+        cents, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      bf.intersect(got).size.toDouble / bf.size
+    }
+    val r1 = recallAt(1)
+    val r3 = recallAt(3)
+    val rAll = recallAt(nlist)
+    info(f"IVF recall@3: nprobe1=$r1%.3f nprobe3=$r3%.3f nprobe$nlist=$rAll%.3f")
+    assert(r3 >= r1, "recall must not shrink with more probes")
+    assert(r3 >= 0.6, s"nprobe=3 recall $r3 unreasonably low")
+    assert(rAll == 1.0, "probing every list must be exact brute force")
+    // ranks dense 1..k per query, no duplicate candidates
+    val out = Ann.ivfTopK(q, df, "vec_id", "vec_id", "embedding", 3, cents, 3)
+      .collect()
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length),
+        s"q=$qid")
+    }
+    // training is deterministic: same inputs → identical centroids
+    val again = Ann.trainIvfCentroids(df, "vec_id", "embedding", nlist)
+    assert(cents.zip(again).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("native cosine/bucket Expressions are bit-identical to the HOF forms") {
     val df = corpus(300)
     val cos = df.as("a").crossJoin(df.limit(5).as("b"))
