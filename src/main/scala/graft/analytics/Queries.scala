@@ -460,6 +460,28 @@ object Queries {
       max(nTok).as("max_tokens"))
   }
 
+  // --- X7 BPE-ish variant: pretokenizer-regex token counting (the budget
+  //     proxy for the reference's HF tokenizer, token_stats.py:11-13) — the
+  //     same GPT-2-style pattern on both engines (restricted to the
+  //     java.regex ∩ RE2 feature set, so counts agree exactly) -------------
+  register("q_x7_token_bpe", {
+    // DuckDB standard string literals keep backslashes verbatim — only the
+    // single quotes in the pattern need doubling
+    val p = graft.functions.TextFunctions.BpeIshPattern.replace("'", "''")
+    s"""SELECT CAST(sum(len(regexp_extract_all(text, '$p'))) AS BIGINT)
+       |         AS total_bpe_tokens,
+       |       round(avg(len(regexp_extract_all(text, '$p'))), 6)
+       |         AS avg_bpe_tokens,
+       |       max(len(regexp_extract_all(text, '$p'))) AS max_bpe_tokens
+       |FROM documents""".stripMargin
+  }) { (s, dir) =>
+    val n = graft.functions.TextFunctions.tokenCountBpe(col("text"))
+    t(s, dir, "documents").agg(
+      sum(n).cast("long").as("total_bpe_tokens"),
+      round(avg(n), 6).as("avg_bpe_tokens"),
+      max(n).as("max_bpe_tokens"))
+  }
+
   // --- dedup 1: exact hash-groupBy over a corpus with planted duplicates ---
   register("q_dedup_exact",
     """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_id
@@ -713,23 +735,30 @@ object Queries {
   }
 
   // --- multimodal: binary payload metadata + batched feature extraction.
-  //     Images (every 3rd doc carries a synthetic PNG) decode FOR REAL via
-  //     javax.imageio → width/height/channel stats; other mimes fall back to
-  //     the labeled stub (rows-only; fixture-pinned in MultimodalSpec) ------
+  //     Images (hash%3==0: synthetic PNG) decode FOR REAL via javax.imageio
+  //     → width/height/channel stats; WAV audio (hash%3==1: synthetic PCM)
+  //     decodes FOR REAL via javax.sound.sampled → rate/channels/duration/
+  //     RMS; remaining mimes fall back to the labeled stub (rows-only;
+  //     fixture-pinned in MultimodalSpec). avg_feat1/avg_feat2 are the
+  //     per-mime means of feature slots 1–2 (width/height for images,
+  //     sample-rate/channels for audio) -----------------------------------
   register("q_multimodal_media", null) { (s, _) =>
     import s.implicits._
     val pages = graft.synth.SynthPages.pages(s, 500L)
     val feats = graft.multimodal.Multimodal.extractFeatures(
-      pages.map(p =>
+      pages.map { p =>
+        val m = math.floorMod(p.url.hashCode, 3)
+        val seed = p.url.length.toLong * 2654435761L + p.url.hashCode
         (p.url,
-          if (p.url.hashCode % 3 == 0) graft.multimodal.Multimodal.synthPng(
-            p.url.length.toLong * 2654435761L + p.url.hashCode)
-          else p.html)))
+          if (m == 0) graft.multimodal.Multimodal.synthPng(seed)
+          else if (m == 1) graft.multimodal.Multimodal.synthWav(seed)
+          else p.html)
+      })
     feats.toDF().groupBy("mime")
       .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
         sum(col("decoded").cast("long")).as("n_decoded"),
-        round(avg(element_at(col("features"), 1)), 2).as("avg_width"),
-        round(avg(element_at(col("features"), 2)), 2).as("avg_height"))
+        round(avg(element_at(col("features"), 1)), 2).as("avg_feat1"),
+        round(avg(element_at(col("features"), 2)), 2).as("avg_feat2"))
       .orderBy("mime")
   }
 

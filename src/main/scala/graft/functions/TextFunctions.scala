@@ -22,6 +22,21 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), w => length(w) > 0))
 
+  /** GPT-2-style pretokenizer pattern, restricted to constructs both
+    * java.util.regex and RE2 (the DuckDB oracle) support (no lookahead):
+    * contraction suffixes, space-prefixed letter runs, space-prefixed digit
+    * runs, space-prefixed punctuation runs, residual whitespace runs. The
+    * token COUNT under this pattern tracks a BPE tokenizer's pre-split
+    * count — the budget-estimation proxy for the reference's HF tokenizer
+    * (`token_stats.py:11-13`) when the real vocab isn't loadable.
+    */
+  val BpeIshPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** X7 variant — BPE-ish pretoken count via the codegen'd regexp engine. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit(BpeIshPattern))
+
   /** Lowercased word tokens with punctuation-trimmed edges. */
   def normTokens(text: Column): Column =
     filter(

@@ -33,6 +33,8 @@ object Multimodal {
       .when(hexPrefix.startsWith("89504E47"), "image/png")
       .when(hexPrefix.startsWith("47494638"), "image/gif")
       .when(hexPrefix.startsWith("424D"), "image/bmp")
+      .when(hexPrefix.startsWith("52494646") &&
+        hex(substring(bin, 9, 4)) === "57415645", "audio/wav") // RIFF…WAVE
       .when(hexPrefix.startsWith("494433"), "audio/mpeg")
       .when(hexPrefix.startsWith("1A45DFA3"), "video/webm")
       .when(hexPrefix.startsWith("3C68746D6C") || hexPrefix.startsWith("3C21444F"),
@@ -49,6 +51,9 @@ object Multimodal {
     else if (at(0) == 0x47 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x38)
       "image/gif"
     else if (at(0) == 0x42 && at(1) == 0x4d) "image/bmp"
+    else if (at(0) == 0x52 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x46 &&
+      at(8) == 0x57 && at(9) == 0x41 && at(10) == 0x56 && at(11) == 0x45)
+      "audio/wav"
     else if (at(0) == 0x49 && at(1) == 0x44 && at(2) == 0x33) "audio/mpeg"
     else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3)
       "video/webm"
@@ -125,12 +130,78 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** STUB — deterministic fake decoder standing in for the audio/video
-    * codecs this container lacks. Produces a feature vector as a pure
-    * function of the payload bytes so tests are reproducible. The Spark-side
-    * contract (batched iterator in, fixed-dim float vector out) is exactly
-    * what a real codec plugs into — see [[decodeImageFeatures]] for the
-    * image path that IS real.
+  /** Feature layout of [[decodeAudioFeatures]]:
+    * [0]=sample rate (Hz), [1]=channels, [2]=bits/sample,
+    * [3]=duration (sec), [4]=RMS amplitude (0..1), [5]=peak amplitude,
+    * [6]=mean absolute amplitude; remaining slots 0.
+    */
+  val AudioFeatureDim = 16
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK built-in WAV/PCM
+    * reader — no external codec). Samples are subsampled to ≤ 65536 frames
+    * so an hour-long recording costs the same as a clip. Returns None for
+    * compressed formats this container has no codec for (mp3 etc.) and for
+    * corrupt payloads — those fall back to the labeled stub.
+    */
+  def decodeAudioFeatures(payload: Array[Byte],
+      dim: Int = AudioFeatureDim): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 16 && bits != 8) None // PCM widths the JDK reads raw
+        else {
+          val frames = in.getFrameLength
+          val frameBytes = fmt.getFrameSize
+          val bytes = in.readAllBytes()
+          val n = bytes.length / frameBytes
+          val step = math.max(1, n / 65536)
+          var i = 0
+          var kept = 0
+          var sumSq = 0.0
+          var sumAbs = 0.0
+          var peak = 0.0
+          val little = !fmt.isBigEndian
+          while (i < n) {
+            // first channel of the frame, normalized to [-1, 1]
+            val off = i * frameBytes
+            val v =
+              if (bits == 16) {
+                val lo = bytes(off) & 0xff
+                val hi = bytes(off + 1) & 0xff
+                val s = if (little) (hi << 8) | lo else (lo << 8) | hi
+                s.toShort / 32768.0
+              } else (bytes(off) & 0xff).toDouble / 128.0 - 1.0 // 8-bit unsigned
+            val a = math.abs(v)
+            sumSq += v * v; sumAbs += a; if (a > peak) peak = a
+            kept += 1
+            i += step
+          }
+          if (kept == 0) None
+          else {
+            val out = new Array[Float](dim)
+            out(0) = fmt.getSampleRate
+            out(1) = fmt.getChannels.toFloat
+            out(2) = bits.toFloat
+            out(3) = (frames.toDouble / fmt.getSampleRate).toFloat
+            out(4) = math.sqrt(sumSq / kept).toFloat
+            out(5) = peak.toFloat
+            out(6) = (sumAbs / kept).toFloat
+            Some(out)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** STUB — deterministic fake decoder standing in for the compressed
+    * audio/video codecs this container lacks (mp3, webm, …). Produces a
+    * feature vector as a pure function of the payload bytes so tests are
+    * reproducible. The Spark-side contract (batched iterator in, fixed-dim
+    * float vector out) is exactly what a real codec plugs into — see
+    * [[decodeImageFeatures]] / [[decodeAudioFeatures]] for the image and
+    * WAV paths that ARE real.
     */
   def stubDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -150,8 +221,8 @@ object Multimodal {
   /** Batched feature extraction over (url, payload) rows. Batch size mirrors
     * the reference's inference batching (32, `small_model_inference/
     * small_model_inference.py:46`); the iterator shape keeps one decoder
-    * context per partition. Images decode for real; everything else gets the
-    * labeled stub with `decoded = false`.
+    * context per partition. Images and WAV audio decode for real;
+    * everything else gets the labeled stub with `decoded = false`.
     */
   def extractFeatures(rows: Dataset[(String, Array[Byte])],
       dim: Int = ImageFeatureDim, batchSize: Int = 32): Dataset[MediaFeatures] = {
@@ -165,6 +236,7 @@ object Multimodal {
           val mime = sniffMimeScalar(payload)
           val real =
             if (mime.startsWith("image/")) decodeImageFeatures(payload, dim)
+            else if (mime == "audio/wav") decodeAudioFeatures(payload, dim)
             else None
           real match {
             case Some(f) =>
@@ -176,6 +248,32 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Deterministic tiny WAV (real `javax.sound.sampled` encode of a
+    * splitmix64-seeded 16-bit mono PCM tone mix) — the synthetic audio
+    * payload for fixtures and the multimodal coverage query. Sample rate
+    * and length vary with the id so decoded features are non-trivial.
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rate = 8000f + 4000f * (graft.synth.Det.mix64(id * 13L + 3L) & 0x1L) // 8k or 12k
+    val nSamples = 256 + (graft.synth.Det.mix64(id * 29L + 5L) & 0xFFL).toInt
+    val freq = 200.0 + (graft.synth.Det.mix64(id * 43L + 9L) & 0x1FFL)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt
+      pcm(2 * i) = (s & 0xff).toByte          // little endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic tiny PNG (real ImageIO encode of a splitmix64-seeded

@@ -35,6 +35,11 @@ class MultimodalSpec extends AnyFunSuite {
       Array(0x42, 0x4d, 0x01).map(_.toByte),
       Array(0x49, 0x44, 0x33).map(_.toByte),
       Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte),
+      // RIFF....WAVE, RIFF with wrong type tag, truncated RIFF
+      ("RIFF" + "\u0004\u0000\u0000\u0000" + "WAVEfmt ").getBytes("ISO-8859-1"),
+      ("RIFF" + "\u0004\u0000\u0000\u0000" + "AVI LIST").getBytes("ISO-8859-1"),
+      "RIFF".getBytes("ISO-8859-1"),
+      Multimodal.synthWav(7L),
       "<html><body>x</body></html>".getBytes("UTF-8"),
       "<HTML><body>x</body></HTML>".getBytes("UTF-8"), // case differs: octet
       "<!DOCTYPE html><html>".getBytes("UTF-8"),
@@ -76,6 +81,37 @@ class MultimodalSpec extends AnyFunSuite {
       dim = 16).toDF().orderBy("url").collect()
     assert(rows.map(_.getSeq[Float](4).toList).toList ==
       again.map(_.getSeq[Float](4).toList).toList)
+  }
+
+  test("synthetic WAVs decode for real: rate/channels/duration/amplitude") {
+    for (id <- Seq(1L, 2L, 9L)) {
+      val wav = Multimodal.synthWav(id)
+      assert(Multimodal.sniffMimeScalar(wav) == "audio/wav")
+      val f = Multimodal.decodeAudioFeatures(wav)
+        .getOrElse(fail(s"WAV $id did not decode"))
+      assert(f(0) == 8000f || f(0) == 12000f, s"rate ${f(0)}")
+      assert(f(1) == 1f, "mono")
+      assert(f(2) == 16f, "16-bit")
+      assert(f(3) > 0f && f(3) < 1f, s"duration ${f(3)}")
+      // a sine at amplitude 12000/32768 ≈ 0.366: RMS ≈ 0.26, peak ≈ 0.37
+      assert(f(4) > 0.2f && f(4) < 0.3f, s"rms ${f(4)}")
+      assert(f(5) > 0.3f && f(5) <= 0.37f, s"peak ${f(5)}")
+    }
+    // determinism
+    assert(Multimodal.synthWav(5L).sameElements(Multimodal.synthWav(5L)))
+  }
+
+  test("corrupt/compressed audio falls back to the stub, flagged undecoded") {
+    import spark.implicits._
+    val corrupt = ("RIFF" + "\u0004\u0000\u0000\u0000" + "WAVEgarbage").getBytes("ISO-8859-1")
+    assert(Multimodal.decodeAudioFeatures(corrupt).isEmpty)
+    val mp3ish = Array(0x49, 0x44, 0x33, 0x04, 0x00).map(_.toByte)
+    val out = Multimodal.extractFeatures(
+      Seq(("u1", corrupt), ("u2", mp3ish), ("u3", Multimodal.synthWav(3L)))
+        .toDS()).collect().map(f => f.url -> f).toMap
+    assert(!out("u1").decoded && out("u1").mime == "audio/wav")
+    assert(!out("u2").decoded && out("u2").mime == "audio/mpeg")
+    assert(out("u3").decoded && out("u3").features(1) == 1f)
   }
 
   test("committed PNG fixture decodes for real: exact dims + channel stats") {
