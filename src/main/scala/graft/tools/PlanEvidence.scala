@@ -104,6 +104,15 @@ object PlanEvidence {
       "partition spec)` single-task collapse never appears for the data.")(
       graft.analytics.Queries.all("q_j2_rownumber_align")(spark, sf))
 
+    section("IVF ANN — corpus-linear list join, no cross join (q_ann_ivf_topk)",
+      "`Ann.ivfTopK`: the corpus carries ONE row per vector with its " +
+      "inverted-list id (batched mapPartitions over broadcast centroids — " +
+      "no shuffle to assign); only the small query side explodes ×nprobe; " +
+      "candidates come from the list_id equi-join and exact cosine " +
+      "(native codegen expression) re-ranks. The corpus is never " +
+      "replicated and never cross-joined — the 100-TB-safe shape.")(
+      graft.analytics.Queries.all("q_ann_ivf_topk")(spark, sf))
+
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md (" + sb.length + " chars)")
     spark.stop()
