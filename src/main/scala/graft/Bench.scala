@@ -219,9 +219,12 @@ object Bench {
       s""""scaling_efficiency_n_to_4n":${f"$efficiency%.3f"},""" +
       s""""scaling_efficiency_median":${f"$effMedian%.3f"},""" +
       s""""scaling_efficiency_rounds":${arr(effRounds)},""" +
-      s""""draws_sec":{"local$nLow":${arr(lows.toSeq, d => f"$d%.2f")},""" +
-      s""""local$nHigh":${arr(highs.toSeq, d => f"$d%.2f")},""" +
-      s""""local$cpus":${arr(fulls.toSeq, d => f"$d%.2f")}},""" +
+      // keys are ROLE-based ("n"/"n4"/"full"), never "local$width": with
+      // SPARK_GRAFT_CPUS ≤ 16 the 4N width equals the headline width and
+      // width-based keys would collide, silently shadowing the 4N draws
+      s""""draws_sec":{"n":${arr(lows.toSeq, d => f"$d%.2f")},""" +
+      s""""n4":${arr(highs.toSeq, d => f"$d%.2f")},""" +
+      s""""full":${arr(fulls.toSeq, d => f"$d%.2f")}},""" +
       s""""host_envelope_n_to_4n":${f"$envEffMedian%.3f"},""" +
       s""""host_envelope_rounds":${arr(envEffRounds)},""" +
       s""""scaling_efficiency_vs_host_envelope":${f"$effVsHost%.3f"}},""" +

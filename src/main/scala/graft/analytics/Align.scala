@@ -33,16 +33,20 @@ object Align {
     // makes the two subtrees non-identical, so ReusedExchange does not fire),
     // the two executions could sample DIFFERENT boundaries and the offsets
     // would be added against the wrong partition counts — silently wrong
-    // global numbers at scale. So `ranged` is persisted and the census below
-    // MATERIALIZES it eagerly; both the offsets and the ranking then read the
-    // one cached partitioning. A cache-evicted block recomputes through the
-    // already-built shuffle dependency (map outputs + fixed RangePartitioner),
-    // never through a fresh boundary sample.
+    // global numbers at scale. So `ranged` is materialized ONCE (eager
+    // localCheckpoint, MEMORY_AND_DISK blocks) and both the offsets census
+    // and the ranking read the same partitioning. localCheckpoint rather
+    // than persist(): cached Datasets register in the CacheManager and leak
+    // until an explicit unpersist nobody owns here, while local-checkpoint
+    // blocks are freed by the ContextCleaner once the returned DataFrame is
+    // unreachable. Caveat (standard for localCheckpoint): an executor loss
+    // fails the query instead of recomputing — on a preemptible cluster,
+    // swap in reliable checkpoint() the way dupClusters does.
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // per-partition counts → cumulative offsets, computed driver-side over
-    // the tiny n-row manifest (this collect is the eager materialization)
+    // the tiny n-row manifest
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets =

@@ -83,12 +83,22 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, shingleN: Int = 3,
-      bucketCap: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sigs = withMinHash(df, textCol, shingleN)
-      .select(col(idCol).as("id"), col("shingles"), col("minhash"))
-      .filter(size(col("shingles")) > 0)
+      bucketCap: Int = Int.MaxValue): DataFrame =
+    nearDupsFromSigs(buildSigs(df, idCol, textCol, shingleN), minJaccard,
+      bucketCap)
 
+  /** `(id, shingles, minhash)` signature frame shared by the pairing and
+    * the census (empty shingle sets dropped — they can't near-dup).
+    */
+  private def buildSigs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    withMinHash(df, textCol, shingleN)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("id"), col("shingles"), col("minhash"))
+
+  private def nearDupsFromSigs(sigs: DataFrame, minJaccard: Double,
+      bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sized = sizedBands(sigs)
 
     val smallSide = sized.filter(col("bsz") <= bucketCap)
@@ -150,34 +160,41 @@ object Dedup {
     * capped run was exhaustive and its recall caveat is vacuous.
     */
   def minhashBucketCensus(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, bucketCap: Int = Int.MaxValue): DataFrame = {
-    val sigs = withMinHash(df, textCol, shingleN)
-      .filter(size(col("shingles")) > 0)
-      .select(col(idCol).as("id"), col("minhash"))
-    // `id === bmin` picks exactly one census row per bucket
-    sizedBands(sigs).filter(col("id") === col("bmin"))
+      shingleN: Int = 3, bucketCap: Int = Int.MaxValue): DataFrame =
+    censusFromSigs(buildSigs(df, idCol, textCol, shingleN), bucketCap)
+
+  private def censusFromSigs(sigs: DataFrame, bucketCap: Int): DataFrame =
+    // `id === bmin` picks exactly one census row per bucket. Per-bucket
+    // skipped pairs are clamped at 0: a just-over-cap bucket of size 2–3
+    // emits MORE star+chain edges than C(s,2) and must not offset real
+    // skips from larger buckets (or drive the total negative).
+    sizedBands(sigs.select("id", "minhash"))
+      .filter(col("id") === col("bmin"))
       .agg(count(lit(1)).as("n_buckets"),
         sum(when(col("bsz") > bucketCap, 1L).otherwise(0L))
           .as("capped_buckets"),
         sum(when(col("bsz") > bucketCap,
-          (col("bsz") * (col("bsz") - 1) / 2 - (col("bsz") - 1) * 2)
-            .cast("long"))
+          greatest(lit(0L),
+            (col("bsz") * (col("bsz") - 1) / 2 - (col("bsz") - 1) * 2)
+              .cast("long")))
           .otherwise(0L)).as("skipped_pairs"))
-  }
 
   /** Totals from [[minhashBucketCensus]]. */
   final case class BucketStats(nBuckets: Long, cappedBuckets: Long,
     skippedPairs: Long)
 
-  /** [[minhashNearDups]] plus an EAGER truncation census: the stats job runs
-    * first (one aggregate over the band shuffle) and a capped run that
-    * actually truncated logs a warning, so silent recall loss is impossible.
+  /** [[minhashNearDups]] plus an EAGER truncation census. The
+    * shingle/minhash signatures — the dominant cost of the whole pass — are
+    * computed ONCE and materialized (eager localCheckpoint); the census
+    * aggregate and the pairing both read the materialized frame, so the
+    * stats never double the signature work. A capped run that actually
+    * truncated logs a warning, so silent recall loss is impossible.
     */
   def minhashNearDupsWithStats(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, shingleN: Int = 3,
       bucketCap: Int = Int.MaxValue): (DataFrame, BucketStats) = {
-    val row = minhashBucketCensus(df, idCol, textCol, shingleN, bucketCap)
-      .collect()(0)
+    val sigs = buildSigs(df, idCol, textCol, shingleN).localCheckpoint(true)
+    val row = censusFromSigs(sigs, bucketCap).collect()(0)
     val stats = BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
     if (stats.cappedBuckets > 0)
       System.err.println(
@@ -185,8 +202,7 @@ object Dedup {
           s"${stats.cappedBuckets} bucket(s); up to ${stats.skippedPairs} " +
           "candidate pair(s) not examined — near-dup recall inside those " +
           "buckets is adjacency/representative only")
-    (minhashNearDups(df, idCol, textCol, minJaccard, shingleN, bucketCap),
-      stats)
+    (nearDupsFromSigs(sigs, minJaccard, bucketCap), stats)
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -391,9 +407,19 @@ object Dedup {
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Reliable mode persists BEFORE checkpointing: Dataset.checkpoint's
+    // eager count and the ReliableCheckpointRDD file-write are two jobs,
+    // and without the persist the second job would recompute the whole
+    // iteration plan — doubling the per-iteration work AND every
+    // accumulator bump (the changed-count would read ~2×). The cache is
+    // released as soon as the checkpoint files exist.
     def cp(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+      if (checkpointDir.isDefined) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c = p.checkpoint(eager = true)
+        p.unpersist(blocking = false)
+        c
+      } else df.localCheckpoint(true)
     val bi = cp(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
     var labels = cp(bi.select(col("src").as("id")).distinct()

@@ -146,6 +146,4 @@ object Taxonomy {
 object TestTables {
   /** `documents.source` domain. */
   val documentSources: Seq[String] = (0 until 20).map(i => s"src$i")
-  /** `documents.lang` domain. */
-  val documentLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
 }

@@ -151,7 +151,17 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val bits = fmt.getSampleSizeInBits
-        if (bits != 16 && bits != 8) None // PCM widths the JDK reads raw
+        // Gate on ENCODING, not just sample width: a mu-law/A-law WAV also
+        // reports 8 bits but its companded bytes are NOT linear PCM —
+        // decoding them as such would emit garbage amplitudes flagged
+        // `decoded = true`. Only linear PCM in its canonical signedness
+        // (16-bit signed, 8-bit unsigned) is read raw; everything else
+        // falls back to the labeled stub.
+        import javax.sound.sampled.AudioFormat.Encoding
+        val linearPcm =
+          (bits == 16 && fmt.getEncoding == Encoding.PCM_SIGNED) ||
+          (bits == 8 && fmt.getEncoding == Encoding.PCM_UNSIGNED)
+        if (!linearPcm) None
         else {
           val frames = in.getFrameLength
           val frameBytes = fmt.getFrameSize

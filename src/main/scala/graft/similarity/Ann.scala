@@ -100,8 +100,12 @@ object Ann {
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int, sampleSize: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
+    // cast defensively: an array<float> embedding column (the documented
+    // input type) would otherwise surface boxed Floats through getSeq and
+    // ClassCastException on .toArray
     val sample: Array[Array[Double]] = corpus
-      .select(col(idCol).cast("string").as("id"), col(embCol).as("emb"))
+      .select(col(idCol).cast("string").as("id"),
+        col(embCol).cast("array<double>").as("emb"))
       .orderBy("id").limit(sampleSize)
       .collect()
       .map(_.getSeq[Double](1).toArray)
@@ -184,7 +188,7 @@ object Ann {
     val bc = spark.sparkContext.broadcast(centroids)
     val c = corpus
       .select(col(cId).cast("long").as("neighbor_id"),
-        col(embCol).as("c_emb")).as[(Long, Seq[Double])]
+        col(embCol).cast("array<double>").as("c_emb")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val cents = bc.value
         it.map { case (id, emb) =>
@@ -192,7 +196,8 @@ object Ann {
         }
       }.toDF("neighbor_id", "c_emb", "list_id")
     val q = queries
-      .select(col(qId).cast("long").as("query_id"), col(embCol).as("q_emb"))
+      .select(col(qId).cast("long").as("query_id"),
+        col(embCol).cast("array<double>").as("q_emb"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val cents = bc.value
@@ -200,10 +205,14 @@ object Ann {
           probeLists(emb.toArray, cents, nprobe).map(l => (id, emb, l))
         }
       }.toDF("query_id", "q_emb", "list_id")
+    // no dedup needed: each corpus vector sits in exactly ONE list and a
+    // query's nprobe probe keys are distinct, so a (query, neighbor) pair
+    // can match at most once — a dropDuplicates here would be a no-op
+    // costing a full extra hash exchange over every scored candidate
+    // (AnnSpec's exactly-once test is the regression guard)
     val scored = c.join(q, "list_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -230,11 +239,14 @@ object Ann {
       .drop("qbucket")
     val c = corpus.select(col(cId).as("neighbor_id"), col(embCol).as("c_emb"),
       hyperplaneBucket(col(embCol), planes, dim).as("bucket"))
+    // no dedup needed: the corpus row carries ONE bucket and the probe
+    // buckets are distinct (distinct masks XOR one fixed qbucket), so a
+    // (query, neighbor) pair matches at most one probe — dropDuplicates
+    // here was a no-op costing a full hash exchange of all candidates
+    // (AnnSpec's exactly-once test is the regression guard)
     val scored = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
-      // a candidate can match several probes — count it once in the ranking
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))

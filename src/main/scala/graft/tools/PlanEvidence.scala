@@ -96,11 +96,14 @@ object PlanEvidence {
     section("Distributed global row_number — no single-partition window " +
       "(q_j2_rownumber_align)",
       "`Align.withGlobalRowNumber`: ONE RangePartitioning exchange, " +
-      "materialized into an InMemoryTableScan that BOTH the offsets census " +
-      "and the ranking read (a second, independently-sampled range exchange " +
-      "would let the two branches see different boundaries — silently wrong " +
-      "numbering at scale), + window keyed by `__pid` + BroadcastHashJoin " +
-      "of the tiny offset manifest — the naive `Window [row_number()] (no " +
+      "materialized eagerly (localCheckpoint) so BOTH the offsets census " +
+      "and the ranking read the same frozen partitioning — the ranked " +
+      "side scans the checkpointed RDD (`Scan ExistingRDD`) and plans NO " +
+      "range exchange of its own (a second, independently-sampled " +
+      "exchange would let the branches see different boundaries — " +
+      "silently wrong numbering at scale); window keyed by `__pid` + " +
+      "BroadcastHashJoin of the tiny driver-computed offset manifest " +
+      "(`LocalTableScan`) — the naive `Window [row_number()] (no " +
       "partition spec)` single-task collapse never appears for the data.")(
       graft.analytics.Queries.all("q_j2_rownumber_align")(spark, sf))
 

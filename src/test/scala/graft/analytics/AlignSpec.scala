@@ -47,25 +47,21 @@ class AlignSpec extends AnyFunSuite {
     // The scale hazard: two independently-planned range exchanges can
     // sample different partition boundaries, so offsets computed against
     // one partitioning get added to ranks computed against another. The
-    // fix materializes the ranged frame once; the resulting plan must read
-    // it via InMemoryTableScan and contain at most ONE REPARTITION_BY_NUM
-    // range exchange (inside the cached relation), with the offsets coming
-    // from a driver-computed LocalTableScan broadcast.
+    // fix materializes the ranged frame once (eager localCheckpoint); the
+    // ranking plan must read the checkpointed RDD (Scan ExistingRDD) and
+    // contain NO range exchange of its own — the one boundary sample
+    // happened before the checkpoint and is frozen in the blocks — with
+    // the offsets coming from a driver-computed LocalTableScan broadcast.
     val df = (0 until 2000).map(i => ((i * 48271) % 65537, i)).toDF("k", "v")
     val out = Align.withGlobalRowNumber(df, Seq(col("k")), "rn",
       numPartitions = 8)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"),
-      "ranked side must read the materialized range partitioning")
-    // every range exchange must live INSIDE the cached relation (AQE prints
-    // that one exchange twice — Final + Initial plan — so count position,
-    // not occurrences): nothing before the first InMemoryRelation marker
-    // may plan its own independently-sampled range exchange
-    val outside = plan.substring(0, plan.indexOf("InMemoryRelation"))
-    assert(!outside.contains("REPARTITION_BY_NUM") &&
-      !outside.contains("rangepartitioning"),
-      "range exchange planned OUTSIDE the materialized relation — census " +
-        "and ranking may see different boundaries")
+    assert(plan.contains("ExistingRDD"),
+      "ranked side must read the one materialized range partitioning")
+    assert(!plan.contains("REPARTITION_BY_NUM") &&
+      !plan.contains("rangepartitioning"),
+      "an independently-sampled range exchange appears in the numbering " +
+        "plan — census and ranking may see different boundaries")
     assert(plan.contains("LocalTableScan"),
       "offsets must be the driver-computed manifest, not a re-aggregation")
   }
