@@ -273,18 +273,51 @@ object Dedup {
     * (Chaudhuri/Xiao prefix-filter lemma) — so the token join produces a
     * candidate superset; exact verification then keeps exactly J ≥ t.
     */
+  /** Token order for the prefix filter. Correctness needs ANY one total
+    * order shared by all sets (the prefix-filter lemma); cost does not:
+    * prefixes drawn under a RARE-FIRST order contain the corpus's rare
+    * tokens, so the (grp, token) candidate join fans out on tokens few
+    * documents share — the classic PPJoin frequency order. `freqOrder =
+    * true` computes the exact document-frequency dictionary in one
+    * aggregate and orders by (df, token); `false` uses the hash-of-token
+    * proxy (no extra pass — fine when token frequencies are near-uniform).
+    * Measured on the synthetic sf0.1 corpus (uniform vocab, no stopword
+    * skew): hash 2.3–2.8 s vs freq 3.2–3.9 s — the dictionary passes don't
+    * pay there, so hash stays the default; on real web text the frequency
+    * order is the 100-TB choice, since stopword-led prefixes otherwise
+    * create quadratic hot keys in the candidate join. DedupSpec pins that
+    * both orders produce the identical verified pair set.
+    */
   def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, minJaccard: Double): DataFrame = {
-    val ordered = array_sort(transform(
-      array_distinct(split(col(textCol), " ")),
-      w => struct(xxhash64(w).as("h"), w.as("tok"))))
+      groupCol: String, minJaccard: Double,
+      freqOrder: Boolean = false): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("toks"))
+    val orderedSets =
+      if (!freqOrder)
+        base.withColumn("sh", transform(
+          array_sort(transform(col("toks"),
+            w => struct(xxhash64(w).as("h"), w.as("tok")))),
+          s => s.getField("tok")))
+      else {
+        // exact document frequency per token (one explode + aggregate);
+        // rejoin and re-group to order each set rare-first. Two extra
+        // shuffles buy a candidate join keyed on rare tokens only.
+        val tok = base.select(col("grp"), col("id"),
+          explode(col("toks")).as("tok"))
+        val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        tok.join(dfreq, "tok")
+          .groupBy("grp", "id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("df"), col("tok")))),
+            s => s.getField("tok")).as("sh"))
+      }
     // prefix length sz − ⌈t·sz⌉ + 1 with a 1e-9 slack inside the ceil:
     // pure binary-float arithmetic misrounds integer products (0.9·20 and
     // 1.0−0.9 both land off-integer), which would shorten the prefix by one
     // exactly at threshold boundaries and silently drop J = t pairs. The
     // slack can only LENGTHEN a prefix (recall-safe), never shorten it.
-    val sets = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
-        transform(ordered, s => s.getField("tok")).as("sh"))
+    val sets = orderedSets.select(col("grp"), col("id"), col("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
       .withColumn("prefix", slice(col("sh"), lit(1),

@@ -94,6 +94,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("jaccardPrefixJoin: frequency order ≡ hash order ≡ brute force") {
+    // any shared total order is lossless — both orders must produce the
+    // IDENTICAL verified pair set (only the candidate superset differs)
+    import spark.implicits._
+    val rows = (1L to 40L).map { i =>
+      // overlapping vocab so frequency ordering actually reorders: common
+      // tokens t1..t5 everywhere, rare tokens vary per doc
+      val common = (1 to 5).map(j => s"t$j")
+      val rare = (0 to 12).map(j => s"r${(i + j) % 23}")
+      i -> (common ++ rare).mkString(" ")
+    }
+    val df = rows.toDF("doc_id", "text").withColumn("grp", lit("g"))
+    def run(freq: Boolean) =
+      Dedup.jaccardPrefixJoin(df, "doc_id", "text", "grp", 0.6,
+        freqOrder = freq)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val hashOrdered = run(false)
+    val freqOrdered = run(true)
+    assert(hashOrdered == freqOrdered,
+      s"orders disagree: ${hashOrdered.diff(freqOrdered)} / ${freqOrdered.diff(hashOrdered)}")
+    // scalar brute force
+    val sets = rows.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val expect = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.6
+    } yield (a, b, math.rint(j * 1e6) / 1e6)).toSet
+    assert(hashOrdered == expect)
+  }
+
   test("jaccardPrefixJoin keeps pairs EXACTLY at the threshold (float guard)") {
     // |A| = 20, B ⊂ A with |B| = 18 → J = 18/20 = 0.9 = t exactly.
     // A binary-float prefix length (floor(20·(1−0.9))+1 = 2 instead of 3)
