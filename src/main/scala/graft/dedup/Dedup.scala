@@ -84,8 +84,19 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, shingleN: Int = 3,
       bucketCap: Int = Int.MaxValue): DataFrame =
-    nearDupsFromSigs(buildSigs(df, idCol, textCol, shingleN), minJaccard,
-      bucketCap)
+    // The signature frame feeds SEVEN plan branches (both sides of the
+    // small-bucket self-join, the star and chain mega-bucket paths, and
+    // the two verify joins); Catalyst plans each branch separately (the
+    // subtrees differ after pruning, so ReusedExchange never fires) and
+    // would recompute tokenization + shingle + minhash per branch.
+    // Materializing sigs once (eager localCheckpoint) replaces 7×
+    // signature compute with one pass + block reads. At sandbox scale the
+    // wall clock is a wash (~4 s either way at sf0.1 — host noise dwarfs
+    // the signature cost on 32 cores); the 7×→1× compute reduction is the
+    // 100-TB term, where tokenize+shingle+hash dominates the job.
+    nearDupsFromSigs(
+      buildSigs(df, idCol, textCol, shingleN).localCheckpoint(true),
+      minJaccard, bucketCap)
 
   /** `(id, shingles, minhash)` signature frame shared by the pairing and
     * the census (empty shingle sets dropped — they can't near-dup).

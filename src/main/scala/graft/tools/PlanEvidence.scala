@@ -61,7 +61,10 @@ object PlanEvidence {
       "an all-pairs cross join; verification joins back by id. The window " +
       "over `band_key` (bucket census for the mega-bucket star cap) reuses " +
       "the same hash partitioning — no extra Exchange beyond the band " +
-      "shuffle itself.")(
+      "shuffle itself. The signature frame is materialized ONCE (the " +
+      "`Scan ExistingRDD` leaves): the seven consuming branches would " +
+      "otherwise each recompute tokenize+shingle+minhash, since their " +
+      "pruned subtrees differ and ReusedExchange never fires.")(
       graft.analytics.Queries.all("q_dedup_minhash_lsh")(spark, sf))
 
     section("Multi-probe ANN — query side replicated, corpus scanned once " +
