@@ -223,8 +223,11 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // materialized once: the self-join below would otherwise tokenize and
+    // SimHash every document twice (its two pruned subtrees never reuse)
     val sigs = df.select(col(idCol).as("id"),
       simhash64(normTokens(col(textCol))).as("sim"))
+      .localCheckpoint(true)
     val banded = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -328,12 +331,17 @@ object Dedup {
     // 1.0−0.9 both land off-integer), which would shorten the prefix by one
     // exactly at threshold boundaries and silently drop J = t pairs. The
     // slack can only LENGTHEN a prefix (recall-safe), never shorten it.
+    // materialized ONCE: the ordered-set construction (split + distinct +
+    // sort + prefix slice) otherwise re-evaluates in every consuming
+    // branch — both sides of the token self-join and both verify joins
+    // (the plan showed array_sort ×24 before this)
     val sets = orderedSets.select(col("grp"), col("id"), col("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
       .withColumn("prefix", slice(col("sh"), lit(1),
         (col("sz") - ceil(col("sz") * minJaccard - lit(1e-9)) + 1)
           .cast("int")))
+      .localCheckpoint(true)
     val toks = sets.select(col("grp"), col("id"), col("sz"),
       explode(col("prefix")).as("tok"))
     // same slack on the size-ratio bound: |B| = t·|A| exactly must survive
@@ -371,10 +379,13 @@ object Dedup {
     */
   def jaccardWithinGroupLsh(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, minJaccard: Double, shingleN: Int = 3): DataFrame = {
+    // materialized once: feeds both sides of the band self-join and both
+    // verify joins (4× the shingle+minhash compute otherwise)
     val sigs = withMinHash(df, textCol, shingleN)
       .select(col(groupCol).as("grp"), col(idCol).as("id"),
         array_distinct(col("shingles")).as("sh"), col("minhash"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
     // candidate keys only through the band join + distinct (the heavy
     // shingle arrays join back per verified candidate, as in minhashNearDups)
     val banded = sigs.select(col("grp"), col("id"), size(col("sh")).as("ssz"),
@@ -517,8 +528,10 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
       minCosine: Double = 0.95, planes: Int = 12, dim: Int = 64): DataFrame = {
     val sign = graft.similarity.Ann.hyperplaneBucket(col(embCol), planes, dim)
+    // materialized once so the self-join doesn't bucket every vector twice
     val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       sign.as("bucket"))
+      .localCheckpoint(true)
     withB.as("x").join(withB.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cosine",
