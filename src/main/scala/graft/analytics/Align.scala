@@ -41,10 +41,10 @@ object Align {
     // blocks are freed by the ContextCleaner once the returned DataFrame is
     // unreachable. Caveat (standard for localCheckpoint): an executor loss
     // fails the query instead of recomputing — on a preemptible cluster,
-    // swap in reliable checkpoint() the way dupClusters does.
+    // set spark.graft.checkpoint.reliable=true (see [[Materialize]]).
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(Materialize.apply)
     // per-partition counts → cumulative offsets, computed driver-side over
     // the tiny n-row manifest
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))

@@ -95,7 +95,8 @@ object Dedup {
     // the signature cost on 32 cores); the 7×→1× compute reduction is the
     // 100-TB term, where tokenize+shingle+hash dominates the job.
     nearDupsFromSigs(
-      buildSigs(df, idCol, textCol, shingleN).localCheckpoint(true),
+      graft.analytics.Materialize(
+        buildSigs(df, idCol, textCol, shingleN)),
       minJaccard, bucketCap)
 
   /** `(id, shingles, minhash)` signature frame shared by the pairing and
@@ -204,7 +205,8 @@ object Dedup {
   def minhashNearDupsWithStats(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, shingleN: Int = 3,
       bucketCap: Int = Int.MaxValue): (DataFrame, BucketStats) = {
-    val sigs = buildSigs(df, idCol, textCol, shingleN).localCheckpoint(true)
+    val sigs = graft.analytics.Materialize(
+      buildSigs(df, idCol, textCol, shingleN))
     val row = censusFromSigs(sigs, bucketCap).collect()(0)
     val stats = BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
     if (stats.cappedBuckets > 0)
@@ -227,7 +229,7 @@ object Dedup {
     // SimHash every document twice (its two pruned subtrees never reuse)
     val sigs = df.select(col(idCol).as("id"),
       simhash64(normTokens(col(textCol))).as("sim"))
-      .localCheckpoint(true)
+      .transform(graft.analytics.Materialize.apply)
     val banded = sigs.select(col("id"), col("sim"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -341,7 +343,7 @@ object Dedup {
       .withColumn("prefix", slice(col("sh"), lit(1),
         (col("sz") - ceil(col("sz") * minJaccard - lit(1e-9)) + 1)
           .cast("int")))
-      .localCheckpoint(true)
+      .transform(graft.analytics.Materialize.apply)
     val toks = sets.select(col("grp"), col("id"), col("sz"),
       explode(col("prefix")).as("tok"))
     // same slack on the size-ratio bound: |B| = t·|A| exactly must survive
@@ -385,7 +387,7 @@ object Dedup {
       .select(col(groupCol).as("grp"), col(idCol).as("id"),
         array_distinct(col("shingles")).as("sh"), col("minhash"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(true)
+      .transform(graft.analytics.Materialize.apply)
     // candidate keys only through the band join + distinct (the heavy
     // shingle arrays join back per verified candidate, as in minhashNearDups)
     val banded = sigs.select(col("grp"), col("id"), size(col("sh")).as("ssz"),
@@ -474,7 +476,7 @@ object Dedup {
         val c = p.checkpoint(eager = true)
         p.unpersist(blocking = false)
         c
-      } else df.localCheckpoint(true)
+      } else graft.analytics.Materialize(df)
     val bi = cp(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
     var labels = cp(bi.select(col("src").as("id")).distinct()
@@ -531,7 +533,7 @@ object Dedup {
     // materialized once so the self-join doesn't bucket every vector twice
     val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       sign.as("bucket"))
-      .localCheckpoint(true)
+      .transform(graft.analytics.Materialize.apply)
     withB.as("x").join(withB.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cosine",

@@ -289,6 +289,23 @@ class DedupSpec extends AnyFunSuite {
     assert(iters <= 20, s"pointer jumping degraded: $iters iterations")
   }
 
+  test("reliable-materialization conf routes signature frames to checkpoint files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mat-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.analytics.Materialize.ReliableConfKey, "true")
+    try {
+      val base = "unu doi trei patru cinci șase șapte opt nouă zece " * 5
+      val df = docs(1L -> base, 2L -> base, 3L -> ("x " + base))
+      val pairs = Dedup.minhashNearDups(df, "doc_id", "text", minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)))
+      def anyFile(p: java.io.File): Boolean =
+        p.isFile || Option(p.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)),
+        "reliable conf set but no checkpoint files written")
+    } finally spark.conf.unset(graft.analytics.Materialize.ReliableConfKey)
+  }
+
   test("dupClusters with a reliable checkpoint dir matches the in-memory path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
