@@ -14,21 +14,39 @@ import org.apache.spark.storage.StorageLevel
   * external storage. Caveat: an executor loss fails the query instead of
   * recomputing.
   *
-  * Cluster-grade path: set `spark.graft.checkpoint.reliable=true` AND
-  * `sparkContext.setCheckpointDir(...)` — frames then checkpoint to the
-  * reliable store (persisted first so the eager count and the file write
-  * share one computation, the cache released immediately after). On a
+  * Cluster-grade path: set `spark.graft.checkpoint.reliable=true`
+  * (case-insensitive) AND `sparkContext.setCheckpointDir(...)` — frames
+  * then checkpoint to the reliable store via [[reliable]]. On a
   * preemptible 1000-executor cluster this is the right setting; locally
-  * the default is.
+  * the default is. Reliable checkpoint FILES outlive the frames that wrote
+  * them unless `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * (Spark's default is false) — long-running reliable-mode jobs should set
+  * it, or sweep the checkpoint dir between jobs.
   */
 object Materialize {
   val ReliableConfKey = "spark.graft.checkpoint.reliable"
 
   def apply(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption(ReliableConfKey).contains("true")) {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      val c = p.checkpoint(eager = true)
-      p.unpersist(blocking = false)
-      c
+    if (df.sparkSession.conf.getOption(ReliableConfKey)
+          .exists(_.equalsIgnoreCase("true"))) {
+      if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+        throw new IllegalStateException(
+          s"$ReliableConfKey=true but no checkpoint directory is set — " +
+            "call sparkContext.setCheckpointDir(...) first")
+      reliable(df)
     } else df.localCheckpoint(true)
+
+  /** Reliable-store materialization. Persists BEFORE checkpointing:
+    * `Dataset.checkpoint`'s eager count and the ReliableCheckpointRDD
+    * file-write are two jobs, and without the persist the second would
+    * recompute the whole plan — doubling the work and double-bumping any
+    * accumulators in it. The cache is released as soon as the checkpoint
+    * files exist.
+    */
+  def reliable(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val c = p.checkpoint(eager = true)
+    p.unpersist(blocking = false)
+    c
+  }
 }

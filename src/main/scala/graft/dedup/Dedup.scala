@@ -319,13 +319,22 @@ object Dedup {
         // exact document frequency per token (one explode + aggregate);
         // rejoin and re-group to order each set rare-first. Two extra
         // shuffles buy a candidate join keyed on rare tokens only.
-        val tok = base.select(col("grp"), col("id"),
+        // base is materialized so tokenization runs ONCE (it otherwise
+        // re-evaluates under both the dfreq aggregate and the join probe
+        // side). collect_set, not collect_list: the re-group keys on
+        // (grp, id), so duplicate input rows sharing an id merge into one
+        // set — the set union — rather than inflating sz with repeated
+        // tokens (which would mis-state jaccard). Under the hash order
+        // duplicate-id rows stay separate rows; keep ids unique per group
+        // if the two orders must agree on such inputs.
+        val matBase = graft.analytics.Materialize(base)
+        val tok = matBase.select(col("grp"), col("id"),
           explode(col("toks")).as("tok"))
         val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
         tok.join(dfreq, "tok")
           .groupBy("grp", "id")
           .agg(transform(
-            array_sort(collect_list(struct(col("df"), col("tok")))),
+            array_sort(collect_set(struct(col("df"), col("tok")))),
             s => s.getField("tok")).as("sh"))
       }
     // prefix length sz − ⌈t·sz⌉ + 1 with a 1e-9 slack inside the ceil:
@@ -452,7 +461,10 @@ object Dedup {
     * `checkpointDir`: when set, per-iteration lineage cuts use RELIABLE
     * checkpoints in that directory instead of executor-memory
     * `localCheckpoint` — at 100-TB scale the labels don't fit (and must
-    * survive) executor memory; locally the default stays in-memory.
+    * survive) executor memory. When None, the cuts follow the global
+    * [[graft.analytics.Materialize]] policy: in-memory by default, or the
+    * session's reliable checkpoint store if
+    * `spark.graft.checkpoint.reliable=true`.
     *
     * The per-iteration changed-label count is folded into the SAME job that
     * materializes the iteration's checkpoint (a LongAccumulator bumped by the
@@ -464,19 +476,13 @@ object Dedup {
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    // Reliable mode persists BEFORE checkpointing: Dataset.checkpoint's
-    // eager count and the ReliableCheckpointRDD file-write are two jobs,
-    // and without the persist the second job would recompute the whole
-    // iteration plan — doubling the per-iteration work AND every
-    // accumulator bump (the changed-count would read ~2×). The cache is
-    // released as soon as the checkpoint files exist.
+    // Reliable mode persists before checkpointing so the eager count and
+    // the file-write jobs share one computation — see Materialize.reliable
+    // (a recompute here would also double every accumulator bump, reading
+    // the changed-count ~2×).
     def cp(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) {
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val c = p.checkpoint(eager = true)
-        p.unpersist(blocking = false)
-        c
-      } else graft.analytics.Materialize(df)
+      if (checkpointDir.isDefined) graft.analytics.Materialize.reliable(df)
+      else graft.analytics.Materialize(df)
     val bi = cp(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
     var labels = cp(bi.select(col("src").as("id")).distinct()

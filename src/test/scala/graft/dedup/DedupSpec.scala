@@ -94,6 +94,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("jaccardPrefixJoin freq order: duplicate-id rows merge to the token " +
+      "UNION (no repeated tokens inflating sz or skewing jaccard)") {
+    import spark.implicits._
+    // id=1 appears twice; collect_list would build sh=[a,a,b,c] (sz 4),
+    // fail the 2 >= 0.6*4 size bound and silently drop the pair — the set
+    // semantics are union {a,b,c} vs {a,b}: jaccard 2/3 ≥ 0.6
+    val df = Seq((1L, "a b"), (1L, "a c"), (2L, "a b"))
+      .toDF("doc_id", "text").withColumn("grp", lit("g"))
+    val out = Dedup.jaccardPrefixJoin(df, "doc_id", "text", "grp", 0.6,
+      freqOrder = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSet == Set((1L, 2L, 0.666667)),
+      s"expected the merged-union pair, got: ${out.toSeq}")
+  }
+
   test("jaccardPrefixJoin: frequency order ≡ hash order ≡ brute force") {
     // any shared total order is lossless — both orders must produce the
     // IDENTICAL verified pair set (only the candidate superset differs)
