@@ -21,8 +21,12 @@ object PlanEvidence {
 
     def section(title: String, note: String)(df: org.apache.spark.sql.DataFrame): Unit = {
       sb.append(s"\n## $title\n\n$note\n\n```\n")
+      // lambda identities (`$$Lambda$123/0x7f...@1a2b`) differ per JVM run;
+      // scrub them so a regenerated PLANS.md diffs clean iff plan SHAPE moved
       sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+          org.apache.spark.sql.execution.SimpleMode)
+        .replaceAll("""\$\$\$?Lambda[$]?\d*/0x[0-9a-f]+@[0-9a-f]+""",
+          "\\$\\$Lambda"))
       sb.append("\n```\n")
     }
 
