@@ -51,8 +51,10 @@ object Dedup {
         shingle_hashes(normTokens(col(textCol)), shingleN))
       .withColumn("minhash", minhash_signature(col("shingles"), NumHashes))
 
-  /** LSH band key: hash of the band's r signature values + band index. */
-  private def bandKey(b: Int): Column =
+  /** LSH band key: hash of the band's r signature values + band index.
+    * `private[graft]` so the streaming twin buckets identically.
+    */
+  private[graft] def bandKey(b: Int): Column =
     xxhash64(lit(b) +: (0 until RowsPerBand).map(r =>
       col("minhash").getItem(b * RowsPerBand + r)): _*)
 

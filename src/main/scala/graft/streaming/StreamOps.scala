@@ -61,6 +61,105 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("digest")
       .drop("digest")
 
+  /** One stored signature inside a band bucket's state. */
+  final case class BandedSig(band_key: Long, id: Long, sig: Array[Long],
+      event_ts: java.sql.Timestamp)
+  /** Per-bucket state: parallel (id, signature) arrays, FIFO-capped. */
+  final case class BucketState(ids: Array[Long], sigs: Array[Array[Long]])
+  /** An emitted near-dup candidate pair (id_a < id_b). */
+  final case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double,
+      event_ts: java.sql.Timestamp)
+
+  /** Streaming MinHash near-dup detection — the streaming twin of
+    * [[graft.dedup.Dedup.minhashNearDups]], with BOUNDED state.
+    *
+    * Same signatures and band keys as the batch operator (the native
+    * one-pass `minhash_signature` expression, 8 bands × 4 rows), so the
+    * candidate S-curve matches. Each band bucket is a
+    * `flatMapGroupsWithState` group holding at most `bucketCap` recent
+    * (id, 32-long signature) entries — ~0.3 KiB per doc per band, evicted
+    * FIFO (hot template buckets degrade to a sliding window, the streaming
+    * analogue of the batch `bucketCap` skew guard) and dropped wholesale
+    * once the event-time watermark passes `lateness` beyond the bucket's
+    * newest entry.
+    *
+    * One honest divergence from batch: state cannot hold shingle SETS
+    * (unbounded per doc), so verification uses the signature-agreement
+    * ESTIMATE of Jaccard — unbiased, se ≈ √(J(1−J)/32) ≈ 0.07 at J = 0.8 —
+    * not the exact intersection the batch verify join computes. Exact dups
+    * still verify at exactly 1.0. Route hits needing exactness through a
+    * batch re-verify over the pair's stored texts.
+    *
+    * A pair colliding in several bands (or re-arriving under at-least-once
+    * replay) is emitted per collision; dedup downstream with
+    * `dropDuplicatesWithinWatermark("id_a", "id_b")` — the emitted
+    * `event_ts` carries the watermark column through.
+    */
+  def nearDupStream(pages: DataFrame, idCol: String, textCol: String,
+      tsCol: String, minEstJaccard: Double = 0.8, shingleN: Int = 3,
+      lateness: String = "1 hour", bucketCap: Int = 256)
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.dedup.Dedup
+    val banded = Dedup.withMinHash(pages, textCol, shingleN)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("id"), col("minhash"),
+        col(tsCol).as("event_ts"))
+      .withColumn("band_key",
+        explode(array((0 until Dedup.Bands).map(Dedup.bandKey): _*)))
+      .withWatermark("event_ts", lateness)
+      .select(col("band_key"), col("id"), col("minhash").as("sig"),
+        col("event_ts"))
+      .as[BandedSig]
+    def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+      var eq = 0
+      var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / a.length
+    }
+    banded.groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[BandedSig],
+         state: org.apache.spark.sql.streaming.GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val entries = state.getOption
+              .map(s => scala.collection.mutable.ArrayBuffer(
+                s.ids.zip(s.sigs): _*))
+              .getOrElse(scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Array[Long])])
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              maxTs = math.max(maxTs, r.event_ts.getTime)
+              entries.foreach { case (eid, esig) =>
+                if (eid != r.id) {
+                  val est = estJaccard(esig, r.sig)
+                  if (est >= minEstJaccard)
+                    out += NearDupHit(math.min(eid, r.id),
+                      math.max(eid, r.id),
+                      math.rint(est * 1e6) / 1e6, r.event_ts)
+                }
+              }
+              // at-least-once replay of the same id must not self-pair
+              if (!entries.exists(_._1 == r.id)) {
+                entries += ((r.id, r.sig))
+                if (entries.size > bucketCap)
+                  entries.remove(0, entries.size - bucketCap)
+              }
+            }
+            state.update(
+              BucketState(entries.map(_._1).toArray,
+                entries.map(_._2).toArray))
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, lateness)
+            out.iterator
+          }
+      }
+  }
+
   /** Running per-host quality snapshot (docs seen / kept / mean ppl). */
   final case class HostState(docs: Long, kept: Long, pplSum: Double)
   final case class HostSnapshot(host: String, docs: Long, kept: Long,

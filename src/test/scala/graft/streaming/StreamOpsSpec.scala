@@ -84,6 +84,85 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(out.toSet.size == out.length, "duplicate text survived dedup")
   }
 
+  test("streaming minhash near-dup ≡ batch pair set, state carries across " +
+      "micro-batches, exact dups verify at est_jaccard 1.0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_sneardup").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def docs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text").withColumn("ts", lit(t0))
+    val g1 = "unu doi trei patru cinci șase șapte opt nouă zece " * 5
+    val g2 = "cu totul alte cuvinte despre altceva complet diferit aici " * 5
+    val solo = "text unic fără nicio pereche în corpus " * 5
+    // wave 1: one doc of each group; wave 2 (separate micro-batch): the
+    // duplicates — pairs MUST come from bucket state, not the same batch
+    val wave1 = docs(1L -> g1, 2L -> g2, 3L -> solo)
+    val wave2 = docs(11L -> g1, 12L -> g2)
+    wave1.write.parquet(s"$base/landing")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$base/landing")
+    val q = StreamOps.nearDupStream(stream, "doc_id", "text", "ts",
+        minEstJaccard = 0.9)
+      .writeStream.format("memory").queryName("sneardup")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("sneardup").isEmpty, "no dups landed yet")
+    wave2.write.mode("append").parquet(s"$base/landing")
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("sneardup").as[StreamOps.NearDupHit].collect()
+    val streamPairs = hits.map(h => (h.id_a, h.id_b)).toSet
+    val batchPairs = graft.dedup.Dedup.minhashNearDups(
+        wave1.unionByName(wave2), "doc_id", "text", minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs == batchPairs,
+      s"stream $streamPairs ≠ batch $batchPairs")
+    assert(streamPairs == Set((1L, 11L), (2L, 12L)))
+    assert(hits.forall(_.est_jaccard == 1.0),
+      s"exact dup estimated below 1.0: ${hits.toSeq}")
+  }
+
+  test("streaming near-dup bucket state is FIFO-capped, planted cluster " +
+      "stays connected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_sneardup_cap").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val tpl = "același șablon de pagină repetat la nesfârșit pe site " * 5
+    // 40 identical docs into the same buckets with bucketCap=8: state
+    // stays bounded; each arrival still pairs with the retained window
+    (1L to 40L).map(i => (i, tpl)).toDF("doc_id", "text")
+      .withColumn("ts", lit(t0)).write.parquet(s"$base/landing")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$base/landing")
+    val q = StreamOps.nearDupStream(stream, "doc_id", "text", "ts",
+        minEstJaccard = 0.9, bucketCap = 8)
+      .writeStream.format("memory").queryName("sneardup_cap")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("sneardup_cap")
+      .select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    // rows reach a bucket in shuffle order, not id order, so the pinned
+    // guarantee is the batch mega-bucket one: every arrival pairs with at
+    // least its most recent predecessor in the window, so the planted
+    // cluster stays CONNECTED (and far from all-pairs) under the cap
+    assert(pairs.size < 40 * 39 / 2, "cap did not bound the expansion")
+    val parent = scala.collection.mutable.Map((1L to 40L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val roots = (1L to 40L).map(find).toSet
+    assert(roots.size == 1,
+      s"planted duplicate cluster split into ${roots.size} components")
+  }
+
   test("mapGroupsWithState host snapshots: batch ≡ groupBy, stream accumulates") {
     import spark.implicits._
     val annotated = graft.pipeline.QualityPipeline
