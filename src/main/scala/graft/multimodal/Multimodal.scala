@@ -260,6 +260,151 @@ object Multimodal {
     }
   }
 
+  final case class ResizedImage(url: String, mime: String, orig_w: Int,
+      orig_h: Int, width: Int, height: Int, png: Array[Byte],
+      decoded: Boolean)
+
+  /** REAL aspect-preserving image resize (JDK-only: `BufferedImage` +
+    * bilinear `Graphics2D`), re-encoded as PNG so downstream consumers see
+    * one uniform format regardless of the input codec. No upscaling —
+    * images already within `maxDim` are re-encoded at original size.
+    * Returns (png, origW, origH, outW, outH); None when no reader accepts
+    * the payload.
+    */
+  def resizeImage(payload: Array[Byte], maxDim: Int)
+      : Option[(Array[Byte], Int, Int, Int, Int)] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val ow = math.max(1, math.round(w * scale).toInt)
+        val oh = math.max(1, math.round(h * scale).toInt)
+        val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, ow, oh, null)
+        } finally g.dispose()
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        Some((bos.toByteArray, w, h, ow, oh))
+      }
+    } catch { case _: Exception => None }
+
+  /** Distributed resize over (url, payload) rows — same batched
+    * `mapPartitions` contract as [[extractFeatures]]. Non-image or
+    * undecodable payloads pass through with `decoded = false` and an empty
+    * payload (rows are never dropped — C6 discipline).
+    */
+  def resizeImages(rows: Dataset[(String, Array[Byte])], maxDim: Int = 256,
+      batchSize: Int = 32): Dataset[ResizedImage] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap { batch =>
+        batch.map { case (url, payload) =>
+          val mime = sniffMimeScalar(payload)
+          val real =
+            if (mime.startsWith("image/")) resizeImage(payload, maxDim)
+            else None
+          real match {
+            case Some((png, w, h, ow, oh)) =>
+              ResizedImage(url, mime, w, h, ow, oh, png, decoded = true)
+            case None =>
+              ResizedImage(url, mime, 0, 0, 0, 0, Array.emptyByteArray,
+                decoded = false)
+          }
+        }
+      }
+    }
+  }
+
+  final case class FrameSample(url: String, mime: String, frame_idx: Int,
+      t_offset_sec: Float, frame: Array[Byte], decoded: Boolean)
+
+  /** REAL time-window sampling for WAV: decodes via `javax.sound.sampled`
+    * and slices `n` evenly-spaced raw-PCM windows of `windowMs`
+    * milliseconds, each tagged with its time offset. The audio analogue of
+    * video frame-sampling, on the one time-indexed medium the JDK decodes.
+    */
+  def sampleWavWindows(payload: Array[Byte], n: Int, windowMs: Int = 25)
+      : Option[Seq[(Float, Array[Byte])]] =
+    try {
+      import javax.sound.sampled.AudioSystem
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val frameBytes = fmt.getFrameSize
+        if (frameBytes <= 0) None
+        else {
+          val bytes = in.readAllBytes()
+          val totalFrames = bytes.length / frameBytes
+          val winFrames =
+            math.max(1, (fmt.getSampleRate * windowMs / 1000.0).toInt)
+          if (totalFrames == 0) None
+          else Some((0 until n).map { i =>
+            // window starts spread evenly across the clip, clamped so the
+            // final window never runs past the end
+            val start = math.min(
+              (totalFrames.toLong * i / n).toInt,
+              math.max(0, totalFrames - winFrames))
+            val end = math.min(totalFrames, start + winFrames)
+            (start / fmt.getSampleRate,
+              java.util.Arrays.copyOfRange(bytes, start * frameBytes,
+                end * frameBytes))
+          })
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Frame/window sampling over (url, payload) rows: `n` samples per
+    * payload. WAV samples REAL PCM windows via [[sampleWavWindows]];
+    * video/compressed-audio payloads (no codec in this container) emit
+    * deterministic STUB frames flagged `decoded = false` — the Spark-side
+    * contract (flatMap fan-out, schema, time offsets, batch shape) is what
+    * a real codec plugs into.
+    */
+  def sampleFrames(rows: Dataset[(String, Array[Byte])], n: Int = 4,
+      batchSize: Int = 32): Dataset[FrameSample] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { case (url, payload) =>
+          val mime = sniffMimeScalar(payload)
+          val real =
+            if (mime == "audio/wav") sampleWavWindows(payload, n) else None
+          real match {
+            case Some(wins) =>
+              wins.zipWithIndex.map { case ((t, bytes), i) =>
+                FrameSample(url, mime, i, t, bytes, decoded = true)
+              }
+            case None =>
+              (0 until n).map { i =>
+                // deterministic fake frame: payload-hash-seeded bytes
+                val b = new Array[Byte](64)
+                var hsh = graft.synth.Det.mix64(
+                  payload.foldLeft(0x9e3779b97f4a7c15L)((a, x) =>
+                    graft.synth.Det.mix64(a ^ x)) + i)
+                var j = 0
+                while (j < b.length) {
+                  hsh = graft.synth.Det.mix64(hsh)
+                  b(j) = hsh.toByte
+                  j += 1
+                }
+                FrameSample(url, mime, i, -1f, b, decoded = false)
+              }
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic tiny WAV (real `javax.sound.sampled` encode of a
     * splitmix64-seeded 16-bit mono PCM tone mix) — the synthetic audio
     * payload for fixtures and the multimodal coverage query. Sample rate

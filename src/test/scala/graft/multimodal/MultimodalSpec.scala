@@ -179,4 +179,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.sameElements(f2))
     assert(!f1.sameElements(Multimodal.stubDecodeFeatures("abd".getBytes, 8)))
   }
+
+  private def bigPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("resize: real downscale, aspect preserved, no upscale, re-decodable") {
+    import spark.implicits._
+    val rows = Seq(
+      ("wide", bigPng(200, 100)),
+      ("tall", bigPng(60, 180)),
+      ("small", Multimodal.synthPng(4L)), // already within maxDim
+      ("junk", "not an image".getBytes)).toDS()
+    val out = Multimodal.resizeImages(rows, maxDim = 64)
+      .collect().map(r => r.url -> r).toMap
+    assert(out("wide").decoded && out("wide").width == 64 &&
+      out("wide").height == 32, s"${out("wide")}")
+    assert(out("tall").decoded && out("tall").height == 64 &&
+      out("tall").width == 21) // round(60*64/180)
+    val small = out("small")
+    assert(small.decoded && small.width == small.orig_w &&
+      small.height == small.orig_h, "small image must not upscale")
+    assert(!out("junk").decoded && out("junk").png.isEmpty)
+    // the resized payload is a real PNG with the declared dims
+    val re = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out("wide").png))
+    assert(re.getWidth == 64 && re.getHeight == 32)
+  }
+
+  test("frame sampling: real PCM windows from WAV with increasing offsets; " +
+      "video stub flagged undecoded and deterministic") {
+    import spark.implicits._
+    val wav = Multimodal.synthWav(9L)
+    val webmish = Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte) ++
+      "fake container body".getBytes
+    val rows = Seq(("a.wav", wav), ("v.webm", webmish)).toDS()
+    val out = Multimodal.sampleFrames(rows, n = 4).collect()
+    val wavFrames = out.filter(_.url == "a.wav").sortBy(_.frame_idx)
+    assert(wavFrames.length == 4)
+    assert(wavFrames.forall(f => f.decoded && f.mime == "audio/wav"))
+    assert(wavFrames.forall(_.frame.nonEmpty))
+    val ts = wavFrames.map(_.t_offset_sec)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a < b },
+      s"offsets not increasing: ${ts.toSeq}")
+    // offsets sit inside the clip: duration from the real decoder
+    val dur = Multimodal.decodeAudioFeatures(wav).get(3)
+    assert(ts.forall(t => t >= 0f && t < dur))
+    val vid = out.filter(_.url == "v.webm").sortBy(_.frame_idx)
+    assert(vid.length == 4)
+    assert(vid.forall(f => !f.decoded && f.mime == "video/webm" &&
+      f.t_offset_sec == -1f))
+    // stub frames are a pure function of (payload, idx)
+    val again = Multimodal.sampleFrames(rows, n = 4).collect()
+      .filter(_.url == "v.webm").sortBy(_.frame_idx)
+    assert(vid.zip(again).forall { case (x, y) =>
+      x.frame.sameElements(y.frame) })
+    assert(!vid(0).frame.sameElements(vid(1).frame),
+      "distinct frame indices must differ")
+  }
 }
