@@ -744,22 +744,56 @@ object Queries {
   //     sample-rate/channels for audio) -----------------------------------
   register("q_multimodal_media", null) { (s, _) =>
     import s.implicits._
-    val pages = graft.synth.SynthPages.pages(s, 500L)
     val feats = graft.multimodal.Multimodal.extractFeatures(
-      pages.map { p =>
-        val m = math.floorMod(p.url.hashCode, 3)
-        val seed = p.url.length.toLong * 2654435761L + p.url.hashCode
-        (p.url,
-          if (m == 0) graft.multimodal.Multimodal.synthPng(seed)
-          else if (m == 1) graft.multimodal.Multimodal.synthWav(seed)
-          else p.html)
-      })
+      mediaPayloads(s, 500L))
     feats.toDF().groupBy("mime")
       .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
         sum(col("decoded").cast("long")).as("n_decoded"),
         round(avg(element_at(col("features"), 1)), 2).as("avg_feat1"),
         round(avg(element_at(col("features"), 2)), 2).as("avg_feat2"))
       .orderBy("mime")
+  }
+
+  /** Deterministic media payloads over the synthetic corpus: a third PNG
+    * (real decode), a third WAV (real decode), a third raw html bytes
+    * (stub path) — shared by both multimodal queries so their goldens
+    * derive from one corpus definition.
+    */
+  private def mediaPayloads(s: SparkSession, n: Long)
+      : org.apache.spark.sql.Dataset[(String, Array[Byte])] = {
+    import s.implicits._
+    graft.synth.SynthPages.pages(s, n).map { p =>
+      val m = math.floorMod(p.url.hashCode, 3)
+      val seed = p.url.length.toLong * 2654435761L + p.url.hashCode
+      (p.url,
+        if (m == 0) graft.multimodal.Multimodal.synthPng(seed)
+        else if (m == 1) graft.multimodal.Multimodal.synthWav(seed)
+        else p.html)
+    }
+  }
+
+  // --- multimodal 2: resize + frame/window sampling (rows-only; golden-
+  //     pinned). One row per op: resize emits orig/output dims + the md5 of
+  //     the re-encoded PNG; frame emits the window index, its time offset
+  //     (ms, exact — sample-rate multiples) and the md5 of the raw PCM
+  //     window. Binary payloads surface as md5 so the golden is stable and
+  //     readable. ------------------------------------------------------------
+  register("q_multimodal_transform", null) { (s, _) =>
+    val payloads = mediaPayloads(s, 200L)
+    val resized = graft.multimodal.Multimodal.resizeImages(payloads, maxDim = 6)
+      .toDF().select(col("url"), lit("resize").as("op"),
+        lit(0).as("idx"), col("mime"),
+        col("orig_w").as("a"), col("orig_h").as("b"),
+        col("width").as("c"), col("height").as("d"),
+        md5(col("png")).as("payload_md5"), col("decoded"))
+    val frames = graft.multimodal.Multimodal.sampleFrames(payloads, n = 3)
+      .toDF().select(col("url"), lit("frame").as("op"),
+        col("frame_idx").as("idx"), col("mime"),
+        round(col("t_offset_sec") * 1000).cast("int").as("a"),
+        length(col("frame")).as("b").cast("int"),
+        lit(0).as("c"), lit(0).as("d"),
+        md5(col("frame")).as("payload_md5"), col("decoded"))
+    resized.unionByName(frames).orderBy("url", "op", "idx")
   }
 
   // --- W1: per-row top-k over an array column (small_model_inference.py:
