@@ -26,7 +26,11 @@ object PlanEvidence {
       sb.append(df.queryExecution.explainString(
           org.apache.spark.sql.execution.SimpleMode)
         .replaceAll("""\$\$\$?Lambda[$]?\d*/0x[0-9a-f]+@[0-9a-f]+""",
-          "\\$\\$Lambda"))
+          "\\$\\$Lambda")
+        // streaming operators embed per-run UUIDs (runId, watermark node id)
+        .replaceAll(
+          """[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}""",
+          "<uuid>"))
       sb.append("\n```\n")
     }
 
@@ -122,6 +126,23 @@ object PlanEvidence {
       "(native codegen expression) re-ranks. The corpus is never " +
       "replicated and never cross-joined — the 100-TB-safe shape.")(
       graft.analytics.Queries.all("q_ann_ivf_topk")(spark, sf))
+
+    section("Streaming MinHash near-dup — bounded keyed state, no " +
+      "unbounded join (nearDupStream)",
+      "`StreamOps.nearDupStream` on an unbounded source: signatures + " +
+      "band explode stay narrow (codegen project), one Exchange on the " +
+      "group key feeds `FlatMapGroupsWithState` with an EventTimeWatermark " +
+      "above it — per-bucket FIFO-capped state, NO stream-stream join and " +
+      "no unbounded state operator anywhere in the plan.")({
+      import org.apache.spark.sql.functions._
+      val src = spark.readStream.format("rate")
+        .option("rowsPerSecond", 1).load()
+        .select(col("value").as("doc_id"),
+          concat(lit("text body nr "), col("value")).as("text"),
+          col("timestamp").as("ts"))
+      graft.streaming.StreamOps
+        .nearDupStream(src, "doc_id", "text", "ts").toDF()
+    })
 
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md (" + sb.length + " chars)")
