@@ -26,15 +26,22 @@ import org.apache.spark.storage.StorageLevel
 object Materialize {
   val ReliableConfKey = "spark.graft.checkpoint.reliable"
 
-  def apply(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption(ReliableConfKey)
+  def apply(df: DataFrame): DataFrame = dataset(df)
+
+  /** Typed twin of [[apply]] — persist/checkpoint preserve the element
+    * type, so `Dataset[T]` pipelines (media payloads, typed stages) share
+    * the same policy.
+    */
+  def dataset[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] =
+    if (ds.sparkSession.conf.getOption(ReliableConfKey)
           .exists(_.equalsIgnoreCase("true"))) {
-      if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      if (ds.sparkSession.sparkContext.getCheckpointDir.isEmpty)
         throw new IllegalStateException(
           s"$ReliableConfKey=true but no checkpoint directory is set — " +
             "call sparkContext.setCheckpointDir(...) first")
-      reliable(df)
-    } else df.localCheckpoint(true)
+      reliable(ds)
+    } else ds.localCheckpoint(true)
 
   /** Reliable-store materialization. Persists BEFORE checkpointing:
     * `Dataset.checkpoint`'s eager count and the ReliableCheckpointRDD
@@ -43,8 +50,9 @@ object Materialize {
     * accumulators in it. The cache is released as soon as the checkpoint
     * files exist.
     */
-  def reliable(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+  def reliable[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
     val c = p.checkpoint(eager = true)
     p.unpersist(blocking = false)
     c

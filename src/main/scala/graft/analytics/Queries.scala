@@ -779,7 +779,9 @@ object Queries {
   //     window. Binary payloads surface as md5 so the golden is stable and
   //     readable. ------------------------------------------------------------
   register("q_multimodal_transform", null) { (s, _) =>
-    val payloads = mediaPayloads(s, 200L)
+    // materialized once: the resize and frame branches of the union are
+    // planned independently, which would re-synthesize every payload
+    val payloads = Materialize.dataset(mediaPayloads(s, 200L))
     val resized = graft.multimodal.Multimodal.resizeImages(payloads, maxDim = 6)
       .toDF().select(col("url"), lit("resize").as("op"),
         lit(0).as("idx"), col("mime"),

@@ -340,12 +340,24 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val frameBytes = fmt.getFrameSize
-        if (frameBytes <= 0) None
+        // same linear-PCM gate as decodeAudioFeatures: a mu-law/A-law WAV
+        // opens fine but its companded bytes are NOT raw PCM — emitting
+        // them flagged decoded=true would break the windows' contract
+        import javax.sound.sampled.AudioFormat.Encoding
+        val bits = fmt.getSampleSizeInBits
+        val linearPcm =
+          (bits == 16 && fmt.getEncoding == Encoding.PCM_SIGNED) ||
+          (bits == 8 && fmt.getEncoding == Encoding.PCM_UNSIGNED)
+        if (frameBytes <= 0 || !linearPcm) None
         else {
           val bytes = in.readAllBytes()
           val totalFrames = bytes.length / frameBytes
-          val winFrames =
-            math.max(1, (fmt.getSampleRate * windowMs / 1000.0).toInt)
+          // a clip shorter than n×windowMs tiles into n shorter windows
+          // instead of n identical full-clip copies (offsets stay strictly
+          // increasing whenever the clip has ≥ n frames)
+          val winFrames = math.min(
+            math.max(1, (fmt.getSampleRate * windowMs / 1000.0).toInt),
+            math.max(1, totalFrames / n))
           if (totalFrames == 0) None
           else Some((0 until n).map { i =>
             // window starts spread evenly across the clip, clamped so the
@@ -385,12 +397,13 @@ object Multimodal {
                 FrameSample(url, mime, i, t, bytes, decoded = true)
               }
             case None =>
+              // one pass over the payload; each frame reseeds from (hash+i)
+              val base = payload.foldLeft(0x9e3779b97f4a7c15L)((a, x) =>
+                graft.synth.Det.mix64(a ^ x))
               (0 until n).map { i =>
                 // deterministic fake frame: payload-hash-seeded bytes
                 val b = new Array[Byte](64)
-                var hsh = graft.synth.Det.mix64(
-                  payload.foldLeft(0x9e3779b97f4a7c15L)((a, x) =>
-                    graft.synth.Det.mix64(a ^ x)) + i)
+                var hsh = graft.synth.Det.mix64(base + i)
                 var j = 0
                 while (j < b.length) {
                   hsh = graft.synth.Det.mix64(hsh)

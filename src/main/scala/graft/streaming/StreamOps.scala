@@ -64,8 +64,12 @@ object StreamOps {
   /** One stored signature inside a band bucket's state. */
   final case class BandedSig(band_key: Long, id: Long, sig: Array[Long],
       event_ts: java.sql.Timestamp)
-  /** Per-bucket state: parallel (id, signature) arrays, FIFO-capped. */
-  final case class BucketState(ids: Array[Long], sigs: Array[Array[Long]])
+  /** Per-bucket state: parallel (id, signature) arrays, FIFO-capped, plus
+    * the newest event time seen — the expiry anchor (a late row must not
+    * move the bucket's timeout BACKWARDS).
+    */
+  final case class BucketState(ids: Array[Long], sigs: Array[Array[Long]],
+      newestTsMs: Long)
   /** An emitted near-dup candidate pair (id_a < id_b). */
   final case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double,
       event_ts: java.sql.Timestamp)
@@ -92,8 +96,10 @@ object StreamOps {
     *
     * A pair colliding in several bands (or re-arriving under at-least-once
     * replay) is emitted per collision; dedup downstream with
-    * `dropDuplicatesWithinWatermark("id_a", "id_b")` — the emitted
-    * `event_ts` carries the watermark column through.
+    * `.withWatermark("event_ts", lateness)
+    * .dropDuplicatesWithinWatermark("id_a", "id_b")` — the watermark must
+    * be RE-APPLIED on the emitted `event_ts` because stateful-operator
+    * output columns don't inherit the input's event-time metadata.
     */
   def nearDupStream(pages: DataFrame, idCol: String, textCol: String,
       tsCol: String, minEstJaccard: Double = 0.8, shingleN: Int = 3,
@@ -131,7 +137,11 @@ object StreamOps {
               .getOrElse(scala.collection.mutable.ArrayBuffer
                 .empty[(Long, Array[Long])])
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-            var maxTs = Long.MinValue
+            // expiry anchors on the NEWEST entry ever seen, not this
+            // batch's max: a late-but-valid row must not pull the bucket's
+            // timeout backwards and evict in-window neighbors early
+            var maxTs = state.getOption.map(_.newestTsMs)
+              .getOrElse(Long.MinValue)
             rows.foreach { r =>
               maxTs = math.max(maxTs, r.event_ts.getTime)
               entries.foreach { case (eid, esig) =>
@@ -152,7 +162,7 @@ object StreamOps {
             }
             state.update(
               BucketState(entries.map(_._1).toArray,
-                entries.map(_._2).toArray))
+                entries.map(_._2).toArray, maxTs))
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(maxTs, lateness)
             out.iterator

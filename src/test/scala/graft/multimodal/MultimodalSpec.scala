@@ -243,4 +243,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!vid(0).frame.sameElements(vid(1).frame),
       "distinct frame indices must differ")
   }
+
+  test("mu-law WAV windows are NOT emitted as PCM (same encoding gate as " +
+      "the feature decoder)") {
+    import javax.sound.sampled.{AudioFormat, AudioSystem, AudioFileFormat}
+    // transcode a real PCM synth WAV to mu-law and re-wrap as WAVE
+    val pcm = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.synthWav(2L)))
+    val src = pcm.getFormat
+    val ulaw = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.ULAW, src.getSampleRate, 8,
+        src.getChannels, src.getChannels, src.getSampleRate, false), pcm)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.WAVE, bos)
+    val payload = bos.toByteArray
+    assert(Multimodal.sniffMimeScalar(payload) == "audio/wav")
+    assert(Multimodal.sampleWavWindows(payload, 3).isEmpty,
+      "companded mu-law bytes must not pass as raw PCM windows")
+    import spark.implicits._
+    val out = Multimodal.sampleFrames(Seq(("u.wav", payload)).toDS(), n = 3)
+      .collect()
+    assert(out.length == 3 && out.forall(!_.decoded),
+      "mu-law payload must take the labeled stub path")
+  }
 }
