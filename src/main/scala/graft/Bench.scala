@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   *     fixed round count avoids optional-stopping bias and every draw is
   *     emitted in the JSON so the evidence is auditable). Scaling
   *     efficiency tp(4N)/(4·tp(N)) — the sandbox proxy for N vs 4N
-  *     executors — is headlined from each series' best draw (deterministic
-  *     identical job ⇒ fastest draw = least-throttled observation), with
-  *     per-round adjacent-in-time ratios and their median emitted as
-  *     diagnostics; the host envelope is strictly per-round.
+  *     executors — is headlined as the MEDIAN of the per-round
+  *     adjacent-in-time ratios (estimator rationale at the computation);
+  *     the best-draw-per-series figure the r1/r2 artifacts recorded
+  *     stays in the JSON as a secondary field, and the host envelope is
+  *     strictly per-round.
   *  3. one end-to-end run including the snapshot-partitioned parquet write.
   *     Reported separately: the sandbox disk is cgroup-throttled to
   *     ~56 MB/s buffered writeback, so the write path measures the disk,
@@ -177,23 +178,30 @@ object Bench {
     val tpFull = pipelineDocs / secFull
     val tpHigh = pairDocs / secHigh
     val tpLow = pairDocs / secLow
-    // HEADLINE efficiency = tp(4N)/(4·tp(N)) with each side's throughput
-    // taken from its best (minimum-seconds) draw: the job is deterministic
-    // and identical across draws, so each series' fastest draw is its
-    // least-throttled observation — the standard noise-robust estimator.
-    // Per-round ratios (adjacent-in-time N then 4N) are ALSO emitted as
-    // diagnostics, but a throttle-regime shift BETWEEN the two adjacent
-    // runs makes single-round ratios unphysical in either direction
-    // (observed up to 3.1 when a burst hit only the N run), so the
-    // round list + median contextualize the headline rather than set it.
+    // HEADLINE efficiency = MEDIAN over rounds of the per-round ratio
+    // tp(4N)/(4·tp(N)), where each round's N and 4N runs are adjacent in
+    // time. Estimator rationale, learned across seven recorded runs:
+    //  - pairing ADJACENT runs puts numerator and denominator inside one
+    //    throttle regime by construction — the regime can still shift
+    //    between the two adjacent runs, which makes a SINGLE round's
+    //    ratio unphysical in either direction (observed 0.16–3.1), and
+    //    the median across rounds suppresses exactly those outliers;
+    //  - the former best-draw-per-series formula tp_best(4N)/(4·tp_best(N))
+    //    instead needs a calm window to land in BOTH series and mixes
+    //    regimes when it doesn't: across runs on identical code it swung
+    //    0.736 (calm N draw, no calm 4N draw) to 1.018 (physically
+    //    impossible > 1, the opposite mix), while the per-round median
+    //    sat at 0.82–0.86. The noisier estimator is still emitted as
+    //    `scaling_efficiency_best_draw` for continuity with the r1/r2
+    //    artifacts; every raw draw is in `draws_sec` for audit.
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val efficiency = tpHigh / (4.0 * tpLow)
+    val effBestDraw = tpHigh / (4.0 * tpLow)
     val effRounds = lows.zip(highs).map { case (l, h) => l / (4.0 * h) }.toSeq
-    val effMedian = median(effRounds)
+    val efficiency = median(effRounds)
     // host envelope, per-round (never mixing rounds): the engine cannot
     // scale better than the machine lets ANY embarrassingly-parallel JVM
     // code scale in that round's throttle regime
@@ -217,7 +225,7 @@ object Bench {
       s""""local${nLow}_sec":${f"$secLow%.2f"},"local${nLow}_docs_per_sec":${f"$tpLow%.1f"},""" +
       s""""local${nHigh}_sec":${f"$secHigh%.2f"},"local${nHigh}_docs_per_sec":${f"$tpHigh%.1f"},""" +
       s""""scaling_efficiency_n_to_4n":${f"$efficiency%.3f"},""" +
-      s""""scaling_efficiency_median":${f"$effMedian%.3f"},""" +
+      s""""scaling_efficiency_best_draw":${f"$effBestDraw%.3f"},""" +
       s""""scaling_efficiency_rounds":${arr(effRounds)},""" +
       // keys are ROLE-based ("n"/"n4"/"full"), never "local$width": with
       // SPARK_GRAFT_CPUS ≤ 16 the 4N width equals the headline width and
