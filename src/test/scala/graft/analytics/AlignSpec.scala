@@ -27,6 +27,25 @@ class AlignSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalRowNumber under the reliable-materialization conf " +
+      "matches the in-memory path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-align-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(Materialize.ReliableConfKey, "true")
+    try {
+      val df = (0 until 2000)
+        .map(i => ((i * 40503L) % 65521L, s"v$i")).toDF("k", "v")
+      val got = Align.withGlobalRowNumber(df.repartition(5), Seq(col("k")),
+          "rn", numPartitions = 8)
+        .select("k", "rn").collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val expect = df.orderBy("k").collect().map(_.getLong(0))
+        .zipWithIndex.map { case (k, i) => k -> (i + 1).toLong }.toMap
+      assert(got == expect)
+    } finally spark.conf.unset(Materialize.ReliableConfKey)
+  }
+
   test("numbering is contiguous 1..n and no stage sees all rows") {
     import spark.implicits._
     val ks: Seq[Int] = (1 to 997).map(i => i * 13)
