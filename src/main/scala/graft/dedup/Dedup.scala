@@ -177,21 +177,28 @@ object Dedup {
       shingleN: Int = 3, bucketCap: Int = Int.MaxValue): DataFrame =
     censusFromSigs(buildSigs(df, idCol, textCol, shingleN), bucketCap)
 
-  private def censusFromSigs(sigs: DataFrame, bucketCap: Int): DataFrame =
+  private def censusFromSigs(sigs: DataFrame, bucketCap: Int): DataFrame = {
     // `id === bmin` picks exactly one census row per bucket. Per-bucket
     // skipped pairs are clamped at 0: a just-over-cap bucket of size 2–3
     // emits MORE star+chain edges than C(s,2) and must not offset real
-    // skips from larger buckets (or drive the total negative).
+    // skips from larger buckets (or drive the total negative). C(s,2) is
+    // computed in DOUBLE and the total saturates below Long.MaxValue: a
+    // mega-bucket past ~4.3e9 members overflows s·(s−1) in long (ANSI
+    // throws; non-ANSI wraps negative and would report 0 skips on the
+    // worst bucket), and telemetry may be approximate but must never
+    // fail the job or lie low. coalesce: zero buckets ⇒ 0s, not NULLs.
+    val bszD = col("bsz").cast("double")
     sizedBands(sigs.select("id", "minhash"))
       .filter(col("id") === col("bmin"))
       .agg(count(lit(1)).as("n_buckets"),
-        sum(when(col("bsz") > bucketCap, 1L).otherwise(0L))
-          .as("capped_buckets"),
-        sum(when(col("bsz") > bucketCap,
-          greatest(lit(0L),
-            (col("bsz") * (col("bsz") - 1) / 2 - (col("bsz") - 1) * 2)
-              .cast("long")))
-          .otherwise(0L)).as("skipped_pairs"))
+        coalesce(sum(when(col("bsz") > bucketCap, 1L).otherwise(0L)),
+          lit(0L)).as("capped_buckets"),
+        least(lit(9.0e18),
+          coalesce(sum(when(col("bsz") > bucketCap,
+            greatest(lit(0.0), bszD * (bszD - 1) / 2 - (bszD - 1) * 2))
+            .otherwise(0.0)), lit(0.0)))
+          .cast("long").as("skipped_pairs"))
+  }
 
   /** Totals from [[minhashBucketCensus]]. */
   final case class BucketStats(nBuckets: Long, cappedBuckets: Long,
@@ -253,9 +260,12 @@ object Dedup {
     */
   def jaccardWithinGroup(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, minJaccard: Double, shingleN: Int = 3): DataFrame = {
+    // materialized once: both sides of the self-join would otherwise
+    // re-tokenize + shingle every document (the same 2× the siblings fix)
     val sets = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
       array_distinct(shingle_hashes(normTokens(col(textCol)), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .transform(graft.analytics.Materialize.apply)
     // size-ratio pruning (similarity-join standard): J(A,B) ≤ min/max of the
     // set sizes, so J ≥ t requires min ≥ t·max — evaluated in the join
     // condition before the expensive intersection. 1e-9 slack: binary-float

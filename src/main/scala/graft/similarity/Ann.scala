@@ -104,6 +104,7 @@ object Ann {
     // input type) would otherwise surface boxed Floats through getSeq and
     // ClassCastException on .toArray
     val sample: Array[Array[Double]] = corpus
+      .filter(col(embCol).isNotNull)
       .select(col(idCol).cast("string").as("id"),
         col(embCol).cast("array<double>").as("emb"))
       .orderBy("id").limit(sampleSize)
@@ -186,7 +187,10 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
+    // NULL embeddings drop out (as they do from the LSH/brute paths via
+    // null propagation) instead of NPE-ing the typed map below
     val c = corpus
+      .filter(col(embCol).isNotNull)
       .select(col(cId).cast("long").as("neighbor_id"),
         col(embCol).cast("array<double>").as("c_emb")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
@@ -196,6 +200,7 @@ object Ann {
         }
       }.toDF("neighbor_id", "c_emb", "list_id")
     val q = queries
+      .filter(col(embCol).isNotNull)
       .select(col(qId).cast("long").as("query_id"),
         col(embCol).cast("array<double>").as("q_emb"))
       .as[(Long, Seq[Double])]

@@ -153,11 +153,12 @@ object SynthPages {
           k += 1
         }
         sb.toString
-      case 7 => // half the lines duplicated
+      case 7 => // every line duplicated: dup_line_frac 0.5, past the 0.30
+        // drop threshold with margin (byte-identical to what the previous
+        // `take(lines.length)` form — a no-op take — always produced)
         val base = fluentRo(seed, id, nWords, nLines)
         val lines = base.split('\n')
-        val dup = lines ++ lines.take(math.max(1, lines.length))
-        dup.mkString("\n")
+        (lines ++ lines).mkString("\n")
       case 8 => // fluent + toxic tokens sprinkled
         val base = fluentRo(seed, id, nWords, nLines)
         val tox = toxicLexicon(Det.nextInt(seed, id, "tox", toxicLexicon.length))

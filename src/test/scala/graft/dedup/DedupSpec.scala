@@ -304,6 +304,18 @@ class DedupSpec extends AnyFunSuite {
     assert(iters <= 20, s"pointer jumping degraded: $iters iterations")
   }
 
+  test("bucket census on an empty/degenerate corpus returns zeros, " +
+      "never NULL-NPEs") {
+    val (out, stats) = Dedup.minhashNearDupsWithStats(
+      docs(), "doc_id", "text", bucketCap = 4)
+    assert(out.collect().isEmpty)
+    assert(stats == Dedup.BucketStats(0L, 0L, 0L))
+    // all-empty texts: every row drops at the shingle filter, same shape
+    val (out2, stats2) = Dedup.minhashNearDupsWithStats(
+      docs(1L -> "", 2L -> ""), "doc_id", "text", bucketCap = 4)
+    assert(out2.collect().isEmpty && stats2 == Dedup.BucketStats(0L, 0L, 0L))
+  }
+
   test("reliable-materialization conf routes signature frames to checkpoint files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mat-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)

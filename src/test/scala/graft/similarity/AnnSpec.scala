@@ -169,6 +169,20 @@ class AnnSpec extends AnyFunSuite {
       || e2.getMessage.toLowerCase.contains("array<double>"))
   }
 
+  test("IVF drops NULL embeddings instead of failing the job (parity with " +
+      "the null-propagating LSH/brute paths)") {
+    import spark.implicits._
+    val withNull = corpus(40).unionByName(
+      Seq((999L, null.asInstanceOf[Seq[Double]]))
+        .toDF("vec_id", "embedding"))
+    val cents = Ann.trainIvfCentroids(withNull, "vec_id", "embedding", 4)
+    val out = Ann.ivfTopK(withNull.filter(col("vec_id") < 3), withNull,
+      "vec_id", "vec_id", "embedding", 3, cents, nprobe = 4).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(r => r.getLong(0) == 999L || r.getLong(1) == 999L),
+      "null-embedding row leaked into IVF results")
+  }
+
   test("hyperplane bucket is deterministic and balanced enough") {
     val df = corpus(500)
     val buckets = df.select(
