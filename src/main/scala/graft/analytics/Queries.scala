@@ -510,7 +510,7 @@ object Queries {
   // hash orders differ — but prefix filtering is lossless, so the verified
   // J ≥ 0.9 output is identical). jaccard = i / (|A| + |B| − i): one
   // intersection per surviving pair.
-  register("q_dedup_jaccard_group",
+  private val jaccardGroupOracle =
     """WITH sets AS (
       |  SELECT source AS grp, doc_id,
       |    list_transform(
@@ -538,9 +538,23 @@ object Queries {
       |              JOIN ss b ON b.doc_id = c.id_b AND b.grp = c.grp)
       |SELECT grp, id_a, id_b, round(jaccard, 6) AS jaccard
       |FROM v WHERE jaccard >= 0.9
-      |ORDER BY grp, id_a, id_b""".stripMargin) { (s, dir) =>
+      |ORDER BY grp, id_a, id_b""".stripMargin
+
+  register("q_dedup_jaccard_group", jaccardGroupOracle) { (s, dir) =>
     graft.dedup.Dedup.jaccardPrefixJoin(
         t(s, dir, "documents"), "doc_id", "text", "source", minJaccard = 0.9)
+      .orderBy("grp", "id_a", "id_b")
+  }
+
+  // Same oracle, Spark side under the RARE-FIRST frequency order — the
+  // 100-TB token ordering (stopword-led prefixes otherwise hot-key the
+  // candidate join). Prefix filtering is lossless under ANY shared total
+  // order, so the verified output is identical; the driver artifact now
+  // checks the production ordering, not just the hash default.
+  register("q_dedup_jaccard_freq", jaccardGroupOracle) { (s, dir) =>
+    graft.dedup.Dedup.jaccardPrefixJoin(
+        t(s, dir, "documents"), "doc_id", "text", "source", minJaccard = 0.9,
+        freqOrder = true)
       .orderBy("grp", "id_a", "id_b")
   }
 
