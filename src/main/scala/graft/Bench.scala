@@ -117,14 +117,26 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     SparkEntry.queries.get("q_a1_group_count")
       .foreach(runNoop) // session warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { runNoop(fn); name -> (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        failed += name
-        name -> -1.0
-      }
+    // TWO draws per query, headline = best-of-2: the host burst-throttles
+    // CPU in minute-scale episodes, and a single throttled draw has
+    // masqueraded as a 2× regression in a past round artifact
+    // (q_dedup_clusters 6.86 s recorded vs 3.05 s re-timed). Both draws are
+    // emitted (`query_draws`) so the artifact carries its own noise bounds.
+    val queryDraws = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val draws = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { runNoop(fn); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+          }
+        }
+        if (draws.exists(_ < 0) && !failed.contains(name)) failed += name
+        name -> draws
+    }
+    val results = queryDraws.map { case (name, draws) =>
+      name -> (if (draws.exists(_ < 0)) -1.0 else draws.min)
     }
     // --- part 3 (while the big session is up): parquet end-to-end ----------
     val tp0 = System.nanoTime()
@@ -214,9 +226,12 @@ object Bench {
       xs.map(fmt).mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val qd = queryDraws.map { case (k, ds) =>
+      "\"" + k + "\":" + ds.map(d => f"$d%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     println(
       s"""{"metric":"pipeline_docs_per_sec_local$cpus","value":${f"$tpFull%.1f"},""" +
-      s""""unit":"docs/sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""unit":"docs/sec","queries":$qs,"query_draws":$qd,"sf":"$sfDir",""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""samples_per_series":$rounds,""" +
       s""""pipeline":{"docs":$pipelineDocs,""" +

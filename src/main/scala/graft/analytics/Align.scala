@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Align {
 
+  /** EAGER, not lazy: calling this materializes the whole range-partitioned
+    * input (localCheckpoint) and collects the per-partition row census at
+    * CALL time — required so the offsets and the ranking read one frozen
+    * partitioning (see the comment below). Do not construct the returned
+    * frame speculatively: building it and discarding it (or branching on
+    * it lazily) still pays the full materialization.
+    */
   def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
       out: String, numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions

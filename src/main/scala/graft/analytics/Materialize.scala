@@ -43,6 +43,38 @@ object Materialize {
       reliable(ds)
     } else ds.localCheckpoint(true)
 
+  /** Runs `body` with the context checkpoint directory temporarily set to
+    * `dir` (no-op when `dir` is None), restoring the PREVIOUS value — set or
+    * unset — afterwards. The checkpoint dir is GLOBAL mutable state on the
+    * SparkContext shared by every session in the JVM; an operator that sets
+    * it for its own reliable checkpoints must not silently redirect later
+    * [[reliable]] calls into its directory. Restoration writes the saved
+    * raw value back through the generated `checkpointDir_$eq` setter:
+    * `setCheckpointDir` is not usable for this — it NPEs on null (the unset
+    * case) and mints a fresh UUID subdirectory under any non-null path, so
+    * "restore" through it would never reproduce the prior state. Files
+    * already checkpointed by `body` stay valid — only FUTURE checkpoints
+    * re-route.
+    */
+  def withCheckpointDir[T](spark: org.apache.spark.sql.SparkSession,
+      dir: Option[String])(body: => T): T = {
+    val sc = spark.sparkContext
+    dir match {
+      case None => body
+      case Some(d) =>
+        val prev = sc.getCheckpointDir
+        sc.setCheckpointDir(d)
+        try body
+        finally {
+          val setter = sc.getClass.getMethods
+            .find(_.getName == "checkpointDir_$eq")
+            .getOrElse(throw new IllegalStateException(
+              "SparkContext.checkpointDir setter not found"))
+          setter.invoke(sc, prev)
+        }
+    }
+  }
+
   /** Reliable-store materialization. Persists BEFORE checkpointing:
     * `Dataset.checkpoint`'s eager count and the ReliableCheckpointRDD
     * file-write are two jobs, and without the persist the second would

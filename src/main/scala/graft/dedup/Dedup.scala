@@ -168,10 +168,16 @@ object Dedup {
 
   /** Truncation telemetry for a capped [[minhashNearDups]] run: one row of
     * `(n_buckets, capped_buckets, skipped_pairs)` where `skipped_pairs` is
-    * the per-bucket `C(s,2) − 2(s−1)` — the candidate pairs the star+chain
-    * expansion does NOT examine (an upper bound on lost NEAR-dup pairs;
-    * exact dups still connect through the chain). Zero capped buckets ⇒ the
-    * capped run was exhaustive and its recall caveat is vacuous.
+    * the per-bucket `C(s,2) − max(s−1, 2s−4)` — a true UPPER bound on the
+    * candidate pairs the star+chain expansion does not examine (and hence
+    * on lost NEAR-dup pairs; exact dups still connect through the chain).
+    * The star emits s−1 edges and the chain s−1, but they overlap on the
+    * chain edges incident to the bucket representative `bmin` (one if bmin
+    * sorts to a chain end, two if interior), so the DISTINCT examined pairs
+    * can be as few as max(s−1, 2s−4) — subtracting the naive 2(s−1) would
+    * understate the skips by up to 2 per capped bucket and break the bound.
+    * Zero capped buckets ⇒ the capped run was exhaustive and its recall
+    * caveat is vacuous.
     */
   def minhashBucketCensus(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bucketCap: Int = Int.MaxValue): DataFrame =
@@ -195,7 +201,8 @@ object Dedup {
           lit(0L)).as("capped_buckets"),
         least(lit(9.0e18),
           coalesce(sum(when(col("bsz") > bucketCap,
-            greatest(lit(0.0), bszD * (bszD - 1) / 2 - (bszD - 1) * 2))
+            greatest(lit(0.0), bszD * (bszD - 1) / 2 -
+              greatest(bszD - 1, bszD * 2 - 4)))
             .otherwise(0.0)), lit(0.0)))
           .cast("long").as("skipped_pairs"))
   }
@@ -225,6 +232,47 @@ object Dedup {
           "candidate pair(s) not examined — near-dup recall inside those " +
           "buckets is adjacency/representative only")
     (nearDupsFromSigs(sigs, minJaccard, bucketCap), stats)
+  }
+
+  /** Batch EXACT re-verification of a candidate pair frame against the
+    * stored documents — the bridge that composes estimate-based paths back
+    * to exactness. [[graft.streaming.StreamOps.nearDupStream]] emits
+    * signature-agreement ESTIMATES of Jaccard (bounded state cannot hold
+    * shingle sets); piping its hits through this function yields the same
+    * verified semantics as [[minhashNearDups]]: join each (id_a, id_b) to
+    * its texts, recompute the shingle sets with the SAME parameters, keep
+    * exact J ≥ `minJaccard`.
+    *
+    * Scale shape: the document side is PRUNED to ids that appear in a hit
+    * (left-semi join) BEFORE any shingling, so tokenization cost is linear
+    * in the hit set, not the corpus; the pruned set frame is materialized
+    * once and feeds both verify joins. Run the stream at a LOWER estimate
+    * threshold than the batch target (estimate se ≈ √(J(1−J)/32) ≈ 0.07 at
+    * J = 0.8) so its hit superset covers the exact answer, then re-verify
+    * at the target — StreamOpsSpec pins stream ∘ reverify ≡ batch.
+    */
+  def reverifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double, shingleN: Int = 3): DataFrame = {
+    val hits = pairs.select("id_a", "id_b").distinct()
+    val hitIds = hits.select(col("id_a").as("id"))
+      .unionByName(hits.select(col("id_b").as("id"))).distinct()
+    val sets = graft.analytics.Materialize(
+      docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .join(hitIds, Seq("id"), "left_semi")
+        .select(col("id"), array_distinct(
+          shingle_hashes(normTokens(col("__text")), shingleN)).as("sh"))
+        .filter(size(col("sh")) > 0))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    hits
+      .join(sets.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -319,8 +367,20 @@ object Dedup {
   def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, minJaccard: Double,
       freqOrder: Boolean = false): DataFrame = {
+    // duplicate-id guard: rows sharing (grp, id) merge to their token-set
+    // UNION up front, so BOTH token orders see identical per-(grp, id) sets.
+    // (Previously the hash order kept duplicate-id rows as separate prefix
+    // sources — ghost self-pairs filtered only by `id < id` — while the
+    // freq order's re-group merged them: a documented but easy-to-trip
+    // semantic divergence, now closed; DedupSpec pins order agreement ON a
+    // duplicate-id input.) collect_list arrival order is nondeterministic
+    // but the flattened DISTINCT set is order-free, and both orders re-sort
+    // it. Cost: one aggregate exchange on (grp, id) — partial-aggregated
+    // map-side, marginal next to the candidate join it protects.
     val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
-      array_distinct(split(col(textCol), " ")).as("toks"))
+        array_distinct(split(col(textCol), " ")).as("toks0"))
+      .groupBy("grp", "id")
+      .agg(array_distinct(flatten(collect_list(col("toks0")))).as("toks"))
     val orderedSets =
       if (!freqOrder)
         base.withColumn("sh", transform(
@@ -331,14 +391,10 @@ object Dedup {
         // exact document frequency per token (one explode + aggregate);
         // rejoin and re-group to order each set rare-first. Two extra
         // shuffles buy a candidate join keyed on rare tokens only.
-        // base is materialized so tokenization runs ONCE (it otherwise
-        // re-evaluates under both the dfreq aggregate and the join probe
-        // side). collect_set, not collect_list: the re-group keys on
-        // (grp, id), so duplicate input rows sharing an id merge into one
-        // set — the set union — rather than inflating sz with repeated
-        // tokens (which would mis-state jaccard). Under the hash order
-        // duplicate-id rows stay separate rows; keep ids unique per group
-        // if the two orders must agree on such inputs.
+        // base is materialized so the tokenize+merge aggregate runs ONCE
+        // (it otherwise re-evaluates under both the dfreq aggregate and
+        // the join probe side). collect_set on the re-group: (grp, id) is
+        // unique after the guard above, so this is a plain reassembly.
         val matBase = graft.analytics.Materialize(base)
         val tok = matBase.select(col("grp"), col("id"),
           explode(col("toks")).as("tok"))
@@ -485,9 +541,16 @@ object Dedup {
     */
   def dupClustersWithStats(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25,
-      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+      checkpointDir: Option[String] = None): (DataFrame, Int) =
+    graft.analytics.Materialize.withCheckpointDir(
+        pairs.sparkSession, checkpointDir) {
+      dupClustersLoop(pairs, idA, idB, maxIter, checkpointDir)
+    }
+
+  private def dupClustersLoop(pairs: DataFrame, idA: String,
+      idB: String, maxIter: Int,
+      checkpointDir: Option[String]): (DataFrame, Int) = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     // Reliable mode persists before checkpointing so the eager count and
     // the file-write jobs share one computation — see Materialize.reliable
     // (a recompute here would also double every accumulator bump, reading

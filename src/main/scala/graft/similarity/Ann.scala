@@ -103,13 +103,23 @@ object Ann {
     // cast defensively: an array<float> embedding column (the documented
     // input type) would otherwise surface boxed Floats through getSeq and
     // ClassCastException on .toArray
-    val sample: Array[Array[Double]] = corpus
+    val raw: Array[Array[Double]] = corpus
       .filter(col(embCol).isNotNull)
       .select(col(idCol).cast("string").as("id"),
         col(embCol).cast("array<double>").as("emb"))
       .orderBy("id").limit(sampleSize)
       .collect()
       .map(_.getSeq[Double](1).toArray)
+    // a ragged corpus (one malformed longer/shorter embedding) must be
+    // DROPPED from training like every other malformed-input path, not
+    // ArrayIndexOutOfBounds the accumulation loop below: train on the
+    // sample's modal length only (ties break to the longer dimension —
+    // deterministic)
+    val dim: Int =
+      if (raw.isEmpty) 0
+      else raw.groupBy(_.length).map { case (l, g) => (g.length, l) }.max._2
+    val sample: Array[Array[Double]] = raw
+      .filter(_.length == dim)
       .map(normalize)
       .filter(v => v.exists(_ != 0.0))
     require(sample.length >= nlist,
@@ -184,32 +194,40 @@ object Ann {
       embCol: String, k: Int, centroids: Array[Array[Double]],
       nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StructField}
     val spark = corpus.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
     // NULL embeddings drop out (as they do from the LSH/brute paths via
-    // null propagation) instead of NPE-ing the typed map below
-    val c = corpus
+    // null propagation) instead of NPE-ing the map below. The id columns
+    // keep the CALLER's type (Row-encoded mapPartitions, schema = input +
+    // list_id) — the LSH/brute paths preserve native id types and under
+    // ANSI mode a numeric cast here would make only the IVF path throw on
+    // string ids.
+    val cBase = corpus
       .filter(col(embCol).isNotNull)
-      .select(col(cId).cast("long").as("neighbor_id"),
-        col(embCol).cast("array<double>").as("c_emb")).as[(Long, Seq[Double])]
-      .mapPartitions { it =>
-        val cents = bc.value
-        it.map { case (id, emb) =>
-          (id, emb, nearestCentroid(normalize(emb.toArray), cents))
-        }
-      }.toDF("neighbor_id", "c_emb", "list_id")
-    val q = queries
+      .select(col(cId).as("neighbor_id"),
+        col(embCol).cast("array<double>").as("c_emb"))
+    val c = cBase.mapPartitions { it =>
+      val cents = bc.value
+      it.map { r =>
+        Row.fromSeq(r.toSeq :+
+          nearestCentroid(normalize(r.getSeq[Double](1).toArray), cents))
+      }
+    }(Encoders.row(cBase.schema.add(
+      StructField("list_id", IntegerType, nullable = false))))
+    val qBase = queries
       .filter(col(embCol).isNotNull)
-      .select(col(qId).cast("long").as("query_id"),
+      .select(col(qId).as("query_id"),
         col(embCol).cast("array<double>").as("q_emb"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions { it =>
-        val cents = bc.value
-        it.flatMap { case (id, emb) =>
-          probeLists(emb.toArray, cents, nprobe).map(l => (id, emb, l))
-        }
-      }.toDF("query_id", "q_emb", "list_id")
+    val q = qBase.mapPartitions { it =>
+      val cents = bc.value
+      it.flatMap { r =>
+        probeLists(r.getSeq[Double](1).toArray, cents, nprobe)
+          .map(l => Row.fromSeq(r.toSeq :+ l))
+      }
+    }(Encoders.row(qBase.schema.add(
+      StructField("list_id", IntegerType, nullable = false))))
     // no dedup needed: each corpus vector sits in exactly ONE list and a
     // query's nprobe probe keys are distinct, so a (query, neighbor) pair
     // can match at most once — a dropDuplicates here would be a no-op

@@ -144,6 +144,33 @@ object PlanEvidence {
         .nearDupStream(src, "doc_id", "text", "ts").toDF()
     })
 
+    // fixed path (not a temp dir): the scan's Location line embeds the
+    // path, and PLANS.md must regenerate byte-identically
+    val pruneDir = "/tmp/graft_plans_prune"
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(pruneDir))
+    graft.pipeline.QualityPipeline.writeAnnotated(
+      graft.pipeline.QualityPipeline.annotate(
+        graft.synth.SynthPages.pages(spark, 1000L)),
+      pruneDir, saltBuckets = 4)
+    section("Snapshot partition pruning — the 100× read path " +
+      "(writeAnnotated → snapshot predicate)",
+      "`writeAnnotated` partitions by `crawl_snapshot` (reference analogue: " +
+      "the `dump` snapshot key, `fineweb/fineweb2_download.py:19`); reading " +
+      "one snapshot back shows the predicate in `PartitionFilters` — " +
+      "directory-level pruning at the file index, BEFORE any scan — with " +
+      "`ReadSchema` pruned to the projected columns. " +
+      "PartitionPruningSpec asserts files-read < total on the same shape.")(
+      {
+        import org.apache.spark.sql.functions._
+        spark.read.parquet(pruneDir)
+          .filter(col("crawl_snapshot") === "CC-MAIN-2024-40")
+          .select("url", "keep")
+      })
+
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md (" + sb.length + " chars)")
     spark.stop()

@@ -413,6 +413,118 @@ class DedupSpec extends AnyFunSuite {
     assert(fps(0) != fps(2)) // content does
   }
 
+  test("jaccardPrefixJoin duplicate-id guard: hash order ≡ freq order ≡ " +
+      "pre-merged input (token-set UNION) on an input WITH duplicate ids") {
+    import spark.implicits._
+    // id=1 appears twice with different texts; both orders must see the
+    // union {a,b,c} and agree with running on the pre-merged input
+    val dup = Seq((1L, "a b"), (1L, "a c"), (2L, "a b"))
+      .toDF("doc_id", "text").withColumn("grp", lit("g"))
+    val merged = Seq((1L, "a b c"), (2L, "a b"))
+      .toDF("doc_id", "text").withColumn("grp", lit("g"))
+    def run(df: org.apache.spark.sql.DataFrame, freq: Boolean) =
+      Dedup.jaccardPrefixJoin(df, "doc_id", "text", "grp", 0.6,
+        freqOrder = freq)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val expect = Set((1L, 2L, 0.666667))
+    assert(run(dup, freq = false) == expect, "hash order on duplicate ids")
+    assert(run(dup, freq = true) == expect, "freq order on duplicate ids")
+    assert(run(merged, freq = false) == expect)
+    assert(run(merged, freq = true) == expect)
+  }
+
+  test("census skipped_pairs = C(s,2) − max(s−1, 2s−4) per capped bucket " +
+      "(a true upper bound on unexamined pairs)") {
+    // 10 identical docs → identical signatures → each of the 8 bands is one
+    // bucket of size 10; cap=5 trips all 8. Star (9 edges) + chain (9) share
+    // the chain edges at the representative, so distinct examined can be as
+    // few as 2·10−4 = 16 → skipped = 45 − 16 = 29 per bucket, 232 total.
+    val tpl = "pagina șablon identică repetată pe fiecare gazdă din corpus " * 4
+    val (_, stats) = Dedup.minhashNearDupsWithStats(
+      docs((1L to 10L).map(_ -> tpl): _*), "doc_id", "text",
+      minJaccard = 0.9, bucketCap = 5)
+    assert(stats == Dedup.BucketStats(8L, 8L, 8L * 29L),
+      s"got $stats")
+    // in THIS fixture identical sigs chain in id order with bmin=1 at the
+    // chain end, so distinct examined is actually 2s−3 = 17 and the TRUE
+    // unexamined count is 45−17 = 28 per bucket. The reported 29 dominates
+    // it (a real upper bound); the old C(s,2)−2(s−1) formula reported 27,
+    // UNDERSTATING the truth — exactly the round-3 advice finding
+    assert(stats.skippedPairs >= 8L * (45L - 17L),
+      "reported skips must dominate the true unexamined count")
+  }
+
+  test("dupClusters(checkpointDir) restores the context-global checkpoint " +
+      "dir — later Materialize.reliable calls don't land in dedup's dir") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val dirA = java.nio.file.Files.createTempDirectory("graft-prior-ckpt")
+      .toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt")
+      .toString
+    graft.analytics.Materialize.withCheckpointDir(spark, Some(dirA)) {
+      val prior = sc.getCheckpointDir // the UUID'd path under dirA
+      assert(prior.exists(_.contains(dirA)))
+      val pairs = Seq((2L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+      val cl = Dedup.dupClusters(pairs, checkpointDir = Some(dirB))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cl == Set(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      // the global dir is back to the PRIOR value, not left at dirB
+      assert(sc.getCheckpointDir == prior,
+        s"checkpoint dir leaked: ${sc.getCheckpointDir} ≠ $prior")
+      // and a reliable materialization now writes under dirA, not dirB
+      val before = deepFileCount(new java.io.File(dirB))
+      spark.conf.set(graft.analytics.Materialize.ReliableConfKey, "true")
+      try graft.analytics.Materialize(Seq((1L, "x")).toDF("id", "t")).count()
+      finally spark.conf.unset(graft.analytics.Materialize.ReliableConfKey)
+      assert(deepFileCount(new java.io.File(dirB)) == before,
+        "post-dedup reliable checkpoint landed in dedup's directory")
+    }
+    // an unset prior dir is restored to unset (None), not left pointing at
+    // the dedup dir — exercised with the raw setter since the suite-shared
+    // context may carry a dir from earlier tests
+    val saved = sc.getCheckpointDir
+    val setter = sc.getClass.getMethods
+      .find(_.getName == "checkpointDir_$eq").get
+    setter.invoke(sc, None)
+    try {
+      val pairs = Seq((5L, 6L)).toDF("id_a", "id_b")
+      Dedup.dupClusters(pairs, checkpointDir = Some(dirB)).count()
+      assert(sc.getCheckpointDir.isEmpty,
+        "previously-unset checkpoint dir must be restored to unset")
+    } finally setter.invoke(sc, saved)
+  }
+
+  private def deepFileCount(p: java.io.File): Int =
+    if (p.isFile) 1
+    else Option(p.listFiles).map(_.map(deepFileCount).sum).getOrElse(0)
+
+  test("reverifyPairs: exact re-verification keeps true near-dups with the " +
+      "minhashNearDups jaccard and drops junk candidate pairs") {
+    val tA = (1 to 40).map(i => s"cuv$i").mkString(" ")
+    val tAnear = (1 to 40).map(i => if (i == 20) "alt20" else s"cuv$i")
+      .mkString(" ") // 3 of 38 shingles change: J = 35/41 ≈ 0.854
+    val tB = (1 to 30).map(i => s"alte$i").mkString(" ")
+    val corpus = docs(1L -> tA, 2L -> tAnear, 3L -> tB, 4L -> tB)
+    // candidates: the two true pairs plus junk (cross-content, unknown id)
+    import spark.implicits._
+    val cands = Seq((1L, 2L), (3L, 4L), (1L, 3L), (2L, 4L), (1L, 99L),
+        (1L, 2L) /* duplicate hit row — must not double-emit */)
+      .toDF("id_a", "id_b")
+    val got = Dedup.reverifyPairs(cands, corpus, "doc_id", "text",
+        minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // ≡ the batch-verified pairs for the same threshold/shingles
+    val batch = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == batch.toSet, s"got ${got.toSeq} batch ${batch.toSeq}")
+    assert(got.length == got.toSet.size, "duplicate hit double-emitted")
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (3L, 4L)))
+    assert(!got.exists(p => p._2 == 99L), "unknown id must drop, not null")
+  }
+
   test("embedding near-dups finds planted duplicate vectors") {
     import spark.implicits._
     val v1 = Array.tabulate(8)(i => 0.1 * (i + 1))

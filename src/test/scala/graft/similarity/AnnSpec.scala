@@ -183,6 +183,49 @@ class AnnSpec extends AnyFunSuite {
       "null-embedding row leaked into IVF results")
   }
 
+  test("IVF preserves the caller's id type: string ids work and " +
+      "nprobe = nlist matches brute force (no numeric-cast asymmetry)") {
+    import spark.implicits._
+    // zero-padded string ids so the tie-break order is consistent across
+    // the brute-force and IVF paths
+    val df = corpus(60).select(
+      format_string("d%03d", col("vec_id")).as("sid"), col("embedding"))
+    val q = df.filter(col("sid") < "d003")
+    val nlist = 4
+    val cents = Ann.trainIvfCentroids(df, "sid", "embedding", nlist)
+    val ivf = Ann.ivfTopK(q, df, "sid", "sid", "embedding", 5, cents,
+      nprobe = nlist)
+    // schema keeps StringType end to end (the old long cast threw under
+    // ANSI for any non-numeric id — an API asymmetry vs LSH/brute)
+    assert(ivf.schema("query_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(ivf.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val got = ivf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(3))).toSet
+    val bf = Ann.bruteForceTopK(q, df, "sid", "sid", "embedding", 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3))).toSet
+    assert(got == bf, s"ivf full-probe ≠ brute force: ${got.diff(bf)}")
+  }
+
+  test("ragged corpus: IVF training drops odd-length vectors instead of " +
+      "ArrayIndexOutOfBounds, and assignment still runs") {
+    import spark.implicits._
+    val ragged = corpus(40).unionByName(Seq(
+        (990L, Seq.fill(dim + 4)(0.5)), // longer — the old AIOOBE trigger
+        (991L, Seq(1.0, 2.0))) // shorter
+      .toDF("vec_id", "embedding"))
+    val cents = Ann.trainIvfCentroids(ragged, "vec_id", "embedding", 4)
+    assert(cents.length == 4)
+    assert(cents.forall(_.length == dim),
+      "centroid dimension must follow the sample's modal length")
+    // the ragged rows may still be ASSIGNED (truncated dot) — the contract
+    // is only that training never throws and clean queries rank correctly
+    val out = Ann.ivfTopK(corpus(40).filter(col("vec_id") < 2), ragged,
+      "vec_id", "vec_id", "embedding", 3, cents, nprobe = 4).collect()
+    assert(out.nonEmpty)
+  }
+
   test("hyperplane bucket is deterministic and balanced enough") {
     val df = corpus(500)
     val buckets = df.select(

@@ -125,6 +125,58 @@ class StreamOpsSpec extends AnyFunSuite {
       s"exact dup estimated below 1.0: ${hits.toSeq}")
   }
 
+  test("streaming hits ∘ batch re-verify ≡ batch exact pairs: the estimate " +
+      "path composes back to exactness through Dedup.reverifyPairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_sreverify").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def docs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text").withColumn("ts", lit(t0))
+    // an exact-dup pair, a NEAR-dup pair (middle token replaced → 3 of 38
+    // 3-gram shingles change: J = 35/41 ≈ 0.854, above the 0.8 batch bar
+    // but below 1.0, so the estimate genuinely differs from the exact
+    // value), and an unrelated solo
+    val tA = (1 to 40).map(i => s"cuv$i").mkString(" ")
+    val tAnear = (1 to 40).map(i => if (i == 20) "alt20" else s"cuv$i")
+      .mkString(" ")
+    val tB = (1 to 30).map(i => s"alte$i").mkString(" ")
+    val solo = (1 to 30).map(i => s"unic$i").mkString(" ")
+    val wave1 = docs(1L -> tA, 3L -> tB, 5L -> solo)
+    val wave2 = docs(2L -> tAnear, 4L -> tB)
+    wave1.write.parquet(s"$base/landing")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$base/landing")
+    // stream at a LOWER estimate threshold (0.5) than the batch target
+    // (0.8): the estimate's se ≈ 0.07 at J = 0.8, so the lowered bar makes
+    // the hit set a superset of the exact answer; re-verify tightens it
+    val q = StreamOps.nearDupStream(stream, "doc_id", "text", "ts",
+        minEstJaccard = 0.5)
+      .writeStream.format("memory").queryName("sreverify")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    wave2.write.mode("append").parquet(s"$base/landing")
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("sreverify")
+    assert(hits.count() > 0, "stream produced no candidate hits")
+    val corpus = wave1.unionByName(wave2)
+    val reverified = graft.dedup.Dedup.reverifyPairs(
+        hits.toDF(), corpus, "doc_id", "text", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.dedup.Dedup.minhashNearDups(
+        corpus, "doc_id", "text", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(reverified == batch,
+      s"stream∘reverify $reverified ≠ batch $batch")
+    assert(reverified.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
+    // the near pair carries the EXACT jaccard (35/41), not the estimate
+    val nearJ = reverified.find(p => (p._1, p._2) == (1L, 2L)).get._3
+    assert(nearJ == math.rint(35.0 / 41 * 1e6) / 1e6, s"nearJ=$nearJ")
+  }
+
   test("streaming near-dup bucket state is FIFO-capped, planted cluster " +
       "stays connected") {
     import spark.implicits._
