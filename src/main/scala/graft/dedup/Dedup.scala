@@ -19,6 +19,22 @@ import graft.synth.Det
   * At 10^12-doc scale every step is shuffle-on-key with AQE-coalesced
   * partitions; the only quadratic work is within a bucket, which band width
   * (r) / bucket granularity controls.
+  *
+  * JOIN STRATEGY: every join in this file carries an explicit `merge`
+  * (sort-merge) hint. Both sides of every join here are corpus-scale or
+  * candidate-scale BY CONSTRUCTION — signature/set frames are one row per
+  * document, candidate frames can exceed the corpus — so a broadcast plan
+  * is never correct at scale. Catalyst would still pick one: the frames
+  * are eagerly materialized ([[graft.analytics.Materialize]], the 7×→1×
+  * signature-compute fix), and a checkpointed Dataset's `LogicalRDD`
+  * carries the PRE-execution size estimate of its origin plan — for
+  * `spark.range`-rooted synthetic inputs (and generally for plans whose
+  * array columns Catalyst prices at a fixed few bytes) that estimate
+  * undercounts by orders of magnitude. The DEDUP_SCALE run caught this
+  * live: at 2M docs the planner broadcast the 2M-row shingle-set frame
+  * (~1.6 GB serialized) into the verify join and died on
+  * `spark.driver.maxResultSize`; at sf0.01 the same plan looks fine.
+  * DedupSpec pins the no-broadcast shape.
   */
 object Dedup {
 
@@ -117,7 +133,7 @@ object Dedup {
 
     val smallSide = sized.filter(col("bsz") <= bucketCap)
       .select("id", "band_key")
-    val allPairs = smallSide.as("x").join(smallSide.as("y"),
+    val allPairs = smallSide.as("x").join(smallSide.as("y").hint("merge"),
         col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     val big = sized.filter(col("bsz") > bucketCap)
@@ -129,7 +145,7 @@ object Dedup {
     val wOrd = Window.partitionBy("band_key")
       .orderBy(col("minhash"), col("id"))
     val chainPairs = big
-      .join(sigs.select(col("id"), col("minhash")), "id")
+      .join(sigs.select(col("id"), col("minhash")).hint("merge"), "id")
       .withColumn("prev", lag("id", 1).over(wOrd))
       .filter(col("prev").isNotNull)
       .select(least(col("prev"), col("id")).as("id_a"),
@@ -142,6 +158,7 @@ object Dedup {
     // verification: exact Jaccard over shingle SETS of the candidates only
     // (one intersection per pair; union size derived)
     val sets = sigs.select(col("id"), array_distinct(col("shingles")).as("sh"))
+      .hint("merge")
     val inter2 = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -258,10 +275,11 @@ object Dedup {
       .unionByName(hits.select(col("id_b").as("id"))).distinct()
     val sets = graft.analytics.Materialize(
       docs.select(col(idCol).as("id"), col(textCol).as("__text"))
-        .join(hitIds, Seq("id"), "left_semi")
+        .join(hitIds.hint("merge"), Seq("id"), "left_semi")
         .select(col("id"), array_distinct(
           shingle_hashes(normTokens(col("__text")), shingleN)).as("sh"))
         .filter(size(col("sh")) > 0))
+      .hint("merge")
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     hits
       .join(sets.withColumnRenamed("id", "id_a")
@@ -293,7 +311,7 @@ object Dedup {
           shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
       ): _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band"), col("bk.bits"))
-    banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y").hint("merge"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -325,7 +343,7 @@ object Dedup {
         lit(minJaccard) * size(col("x.sh")) - 1e-9
     // |A∪B| = |A| + |B| − |A∩B| for distinct sets: one intersection, no union
     val inter = size(array_intersect(col("x.sh"), col("y.sh")))
-    sets.as("x").join(sets.as("y"),
+    sets.as("x").join(sets.as("y").hint("merge"),
         col("x.grp") === col("y.grp") && col("x.id") < col("y.id") && sizeOk)
       .withColumn("jaccard",
         inter.cast("double") / (size(col("x.sh")) + size(col("y.sh")) - inter))
@@ -399,7 +417,7 @@ object Dedup {
         val tok = matBase.select(col("grp"), col("id"),
           explode(col("toks")).as("tok"))
         val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-        tok.join(dfreq, "tok")
+        tok.join(dfreq.hint("merge"), "tok")
           .groupBy("grp", "id")
           .agg(transform(
             array_sort(collect_set(struct(col("df"), col("tok")))),
@@ -427,14 +445,14 @@ object Dedup {
     val sizeOk =
       col("x.sz").cast("double") >= lit(minJaccard) * col("y.sz") - 1e-9 &&
       col("y.sz").cast("double") >= lit(minJaccard) * col("x.sz") - 1e-9
-    val cand = toks.as("x").join(toks.as("y"),
+    val cand = toks.as("x").join(toks.as("y").hint("merge"),
         col("x.grp") === col("y.grp") && col("x.tok") === col("y.tok") &&
           col("x.id") < col("y.id") && sizeOk)
       .select(col("x.grp").as("grp"), col("x.id").as("id_a"),
         col("y.id").as("id_b"))
       .distinct()
     // verify joins on (grp, id): ids may repeat across groups
-    val verify = sets.select(col("grp"), col("id"), col("sh"))
+    val verify = sets.select(col("grp"), col("id"), col("sh")).hint("merge")
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     cand
       .join(verify.withColumnRenamed("id", "id_a")
@@ -472,7 +490,7 @@ object Dedup {
     val sizeOk =
       col("x.ssz").cast("double") >= lit(minJaccard) * col("y.ssz") - 1e-9 &&
       col("y.ssz").cast("double") >= lit(minJaccard) * col("x.ssz") - 1e-9
-    val pairs = banded.as("x").join(banded.as("y"),
+    val pairs = banded.as("x").join(banded.as("y").hint("merge"),
         col("x.grp") === col("y.grp") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id") && sizeOk)
@@ -480,7 +498,7 @@ object Dedup {
         col("y.id").as("id_b"))
       .distinct()
     // verify joins on (grp, id): ids may repeat across groups
-    val sets = sigs.select(col("grp"), col("id"), col("sh"))
+    val sets = sigs.select(col("grp"), col("id"), col("sh")).hint("merge")
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
       .join(sets.withColumnRenamed("id", "id_a")
@@ -566,9 +584,10 @@ object Dedup {
     var it = 0
     while (changed > 0 && it < maxIter) {
       // (1) adopt the minimum label among self and neighbors
-      val nbr = bi.join(labels.withColumnRenamed("id", "src"), "src")
+      val nbr = bi.join(labels.withColumnRenamed("id", "src").hint("merge"),
+          "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
-      val propagated = cp(labels.join(nbr, Seq("id"), "left")
+      val propagated = cp(labels.join(nbr.hint("merge"), Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("mid_label"))) // materialize once: feeds both join sides
@@ -580,7 +599,7 @@ object Dedup {
       val acc = spark.sparkContext.longAccumulator(s"dupClusters.changed.$it")
       val touch = udf { chg: Boolean => if (chg) acc.add(1L); chg }
         .asNondeterministic() // never elide/dedup the accumulator bump
-      val updated = cp(propagated.join(parents,
+      val updated = cp(propagated.join(parents.hint("merge"),
           propagated("mid_label") === parents("pid"))
         .select(col("id"), col("plabel").as("new_label"),
           touch(col("plabel") < col("old_label")).as("__chg")))
@@ -600,7 +619,7 @@ object Dedup {
   def withClusterSizes(clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
-    clusters.join(sizes, "cluster_id")
+    clusters.join(sizes.hint("merge"), "cluster_id")
       .select(col("id"), col("cluster_id"), col("cluster_size"))
   }
 
@@ -615,7 +634,7 @@ object Dedup {
     val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       sign.as("bucket"))
       .transform(graft.analytics.Materialize.apply)
-    withB.as("x").join(withB.as("y"),
+    withB.as("x").join(withB.as("y").hint("merge"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cosine",
         graft.similarity.Ann.cosine(col("x.emb"), col("y.emb")))

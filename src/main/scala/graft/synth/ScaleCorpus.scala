@@ -118,8 +118,13 @@ object ScaleCorpus {
         embeddingFor(seed, id, "emb_u", -1L))
     } else {
       // template is a pure function of the CLUSTER id: every member sees
-      // the same base text without any cross-row communication
-      val nTok = 60 + Det.nextInt(seed, cluster, "clen", 60)
+      // the same base text without any cross-row communication. Templates
+      // are ≥ 120 tokens so a worst-case member pair (2 edits each, 3
+      // shingles killed per edit) still has 3-gram-shingle
+      // J ≥ (118−12)/(118+12) ≈ 0.815 — every planted pair genuinely
+      // clears the 0.8 verify bar, and recovery shortfall measures the
+      // LSH S-curve alone, not fixture noise
+      val nTok = 120 + Det.nextInt(seed, cluster, "clen", 60)
       val toks = templateTokens(seed, cluster, "c", nTok)
       val nEdits = Det.nextInt(seed, id, "edits", 3) // 0..2, 1/3 pristine
       var e = 0

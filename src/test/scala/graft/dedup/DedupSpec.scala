@@ -525,6 +525,54 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._2 == 99L), "unknown id must drop, not null")
   }
 
+  test("no dedup join ever plans a broadcast: corpus-scale frames behind " +
+      "materialization carry pre-execution size estimates that undercount " +
+      "by orders of magnitude (DEDUP_SCALE 2M: a 1.6 GB broadcast of the " +
+      "shingle-set frame killed the driver)") {
+    import spark.implicits._
+    val base = "unu doi trei patru cinci șase șapte opt nouă zece " * 5
+    val df = docs(1L -> base, 2L -> base, 3L -> ("x " + base),
+      4L -> ("complet diferit text despre altceva aici acum " * 5))
+    val grouped = df.withColumn("grp", lit("g"))
+    def noBroadcast(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val d = mk
+      val initial = d.queryExecution.executedPlan.toString
+      assert(!initial.contains("BroadcastExchange"),
+        s"$name plans a broadcast join:\n$initial")
+      d.collect() // and the AQE-finalized plan must respect the hints too
+      val fin = d.queryExecution.executedPlan.toString
+      assert(!fin.contains("BroadcastExchange"),
+        s"$name re-planned to broadcast at runtime:\n$fin")
+    }
+    noBroadcast("minhashNearDups")(
+      Dedup.minhashNearDups(df, "doc_id", "text", minJaccard = 0.5))
+    noBroadcast("minhashNearDups capped")(
+      Dedup.minhashNearDups(df, "doc_id", "text", minJaccard = 0.5,
+        bucketCap = 2))
+    noBroadcast("jaccardPrefixJoin hash")(
+      Dedup.jaccardPrefixJoin(grouped, "doc_id", "text", "grp", 0.5))
+    noBroadcast("jaccardPrefixJoin freq")(
+      Dedup.jaccardPrefixJoin(grouped, "doc_id", "text", "grp", 0.5,
+        freqOrder = true))
+    noBroadcast("jaccardWithinGroup")(
+      Dedup.jaccardWithinGroup(grouped, "doc_id", "text", "grp", 0.5))
+    noBroadcast("jaccardWithinGroupLsh")(
+      Dedup.jaccardWithinGroupLsh(grouped, "doc_id", "text", "grp", 0.5))
+    noBroadcast("simhashNearDups")(
+      Dedup.simhashNearDups(df, "doc_id", "text"))
+    noBroadcast("reverifyPairs")(
+      Dedup.reverifyPairs(Seq((1L, 2L)).toDF("id_a", "id_b"), df,
+        "doc_id", "text", 0.5))
+    noBroadcast("dupClusters")(
+      Dedup.withClusterSizes(Dedup.dupClusters(
+        Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))))
+    noBroadcast("embeddingNearDups")(
+      Dedup.embeddingNearDups(
+        Seq((1L, Seq.fill(8)(0.5)), (2L, Seq.fill(8)(0.5)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", minCosine = 0.9, planes = 4, dim = 8))
+  }
+
   test("embedding near-dups finds planted duplicate vectors") {
     import spark.implicits._
     val v1 = Array.tabulate(8)(i => 0.1 * (i + 1))
