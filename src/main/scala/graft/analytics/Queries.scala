@@ -541,8 +541,12 @@ object Queries {
       |ORDER BY grp, id_a, id_b""".stripMargin
 
   register("q_dedup_jaccard_group", jaccardGroupOracle) { (s, dir) =>
+    // doc_id is unique in the documents table → the duplicate-id merge
+    // aggregate is skipped by contract (the guard path is spec-pinned in
+    // DedupSpec on an input WITH duplicate ids)
     graft.dedup.Dedup.jaccardPrefixJoin(
-        t(s, dir, "documents"), "doc_id", "text", "source", minJaccard = 0.9)
+        t(s, dir, "documents"), "doc_id", "text", "source", minJaccard = 0.9,
+        assumeUniqueIds = true)
       .orderBy("grp", "id_a", "id_b")
   }
 
@@ -554,7 +558,7 @@ object Queries {
   register("q_dedup_jaccard_freq", jaccardGroupOracle) { (s, dir) =>
     graft.dedup.Dedup.jaccardPrefixJoin(
         t(s, dir, "documents"), "doc_id", "text", "source", minJaccard = 0.9,
-        freqOrder = true)
+        freqOrder = true, assumeUniqueIds = true)
       .orderBy("grp", "id_a", "id_b")
   }
 

@@ -382,9 +382,16 @@ object Dedup {
     * create quadratic hot keys in the candidate join. DedupSpec pins that
     * both orders produce the identical verified pair set.
     */
+  /** @param assumeUniqueIds caller contract that (groupCol, idCol) is
+    *   unique — skips the duplicate-id merge aggregate (one exchange of
+    *   the token arrays; real money at volume when the caller has just
+    *   deduplicated). If the contract is violated, the two token orders
+    *   may disagree on duplicate-id rows (the pre-guard divergence).
+    */
   def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, minJaccard: Double,
-      freqOrder: Boolean = false): DataFrame = {
+      freqOrder: Boolean = false,
+      assumeUniqueIds: Boolean = false): DataFrame = {
     // duplicate-id guard: rows sharing (grp, id) merge to their token-set
     // UNION up front, so BOTH token orders see identical per-(grp, id) sets.
     // (Previously the hash order kept duplicate-id rows as separate prefix
@@ -394,11 +401,14 @@ object Dedup {
     // duplicate-id input.) collect_list arrival order is nondeterministic
     // but the flattened DISTINCT set is order-free, and both orders re-sort
     // it. Cost: one aggregate exchange on (grp, id) — partial-aggregated
-    // map-side, marginal next to the candidate join it protects.
-    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
-        array_distinct(split(col(textCol), " ")).as("toks0"))
-      .groupBy("grp", "id")
-      .agg(array_distinct(flatten(collect_list(col("toks0")))).as("toks"))
+    // map-side; skippable via `assumeUniqueIds` when the caller owns the
+    // uniqueness contract.
+    val perRow = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("toks0"))
+    val base =
+      if (assumeUniqueIds) perRow.withColumnRenamed("toks0", "toks")
+      else perRow.groupBy("grp", "id")
+        .agg(array_distinct(flatten(collect_list(col("toks0")))).as("toks"))
     val orderedSets =
       if (!freqOrder)
         base.withColumn("sh", transform(

@@ -175,7 +175,7 @@ object DedupScale {
         .withColumn("grp", lit("all"))
       val out = graft.analytics.Materialize(
         Dedup.jaccardPrefixJoin(slice, "doc_id", "text", "grp", minJ,
-          freqOrder = true))
+          freqOrder = true, assumeUniqueIds = true))
       val n = out.count()
       val sliceN = slice.count()
       Seq("slice_docs" -> sliceN, "exact_pairs" -> n,

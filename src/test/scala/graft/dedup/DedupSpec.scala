@@ -432,6 +432,15 @@ class DedupSpec extends AnyFunSuite {
     assert(run(dup, freq = true) == expect, "freq order on duplicate ids")
     assert(run(merged, freq = false) == expect)
     assert(run(merged, freq = true) == expect)
+    // assumeUniqueIds skips the merge aggregate; on genuinely-unique input
+    // it must equal the guard path under both orders
+    for (freq <- Seq(false, true)) {
+      val fast = Dedup.jaccardPrefixJoin(merged, "doc_id", "text", "grp",
+          0.6, freqOrder = freq, assumeUniqueIds = true)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(fast == expect, s"assumeUniqueIds diverges (freq=$freq)")
+    }
   }
 
   test("census skipped_pairs = C(s,2) − max(s−1, 2s−4) per capped bucket " +
