@@ -24,6 +24,15 @@ import org.apache.spark.storage.StorageLevel
   * it, or sweep the checkpoint dir between jobs.
   */
 object Materialize {
+  // PLANNER CAVEAT (learned at the 2M DEDUP_SCALE run): the checkpointed
+  // frame is a LogicalRDD that carries the ORIGIN plan's PRE-execution
+  // statistics — for generated or expanded data those undercount by orders
+  // of magnitude, and a downstream join against the materialized frame can
+  // be statically planned as a broadcast of a huge side (observed: a
+  // ~1.6 GB driver collect of a 2M-row shingle-set frame). Operators whose
+  // materialized sides are large BY CONSTRUCTION must pin shuffle joins
+  // with explicit hints — see graft.dedup.Dedup's object scaladoc and
+  // DedupSpec's no-broadcast plan test.
   val ReliableConfKey = "spark.graft.checkpoint.reliable"
 
   def apply(df: DataFrame): DataFrame = dataset(df)
