@@ -248,6 +248,56 @@ object DedupScale {
         "checksum_equal" -> (cN == rN && cH == rH))
     }
 
+    // ---- streaming near-dup at volume + batch re-verify bridge -----------
+    phase("stream_near_dup") {
+      // bounded-cluster slice (same rationale as the prefix join): cluster
+      // sizes ≤ ~5 in the slice, so neither the stream's bucketCap FIFO
+      // nor a batch cap truncates — candidate sets must then be IDENTICAL
+      // (same signatures, same band keys), and stream ∘ exact re-verify
+      // must equal the batch verified pair set at volume, not just on the
+      // spec fixture
+      val slice = corpus
+        .filter((col("cluster") === -1L || col("cluster") >= 2000L) &&
+          col("doc_id") < 400000L)
+        .select(col("doc_id"), col("text"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")).as("ts"))
+      val sliceN = slice.count()
+      slice.repartition(16).write.mode("overwrite")
+        .parquet(s"$base/stream_landing")
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 2) // force multi-micro-batch state
+        .parquet(s"$base/stream_landing")
+      // est threshold 0.4 << batch 0.8: P(est < 0.4 | J ≥ 0.8) ≈ 1e-8 with
+      // 32 hashes, so the hit superset covers; re-verify tightens to exact
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamOps.nearDupStream(
+          src, "doc_id", "text", "ts", minEstJaccard = 0.4)
+        .writeStream.format("memory").queryName("scale_stream")
+        .option("checkpointLocation", s"$base/stream_ckpt")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val streamSec = (System.nanoTime() - t0) / 1e9
+      val hits = spark.table("scale_stream")
+      val nHits = hits.select("id_a", "id_b").distinct().count()
+      val reverified = graft.analytics.Materialize(Dedup.reverifyPairs(
+        hits.toDF(), slice, "doc_id", "text", minJaccard = minJ))
+      val batch = graft.analytics.Materialize(Dedup.minhashNearDups(
+        slice, "doc_id", "text", minJaccard = minJ))
+      val rv = reverified.select("id_a", "id_b")
+      val bt = batch.select("id_a", "id_b")
+      val equal = rv.exceptAll(bt).isEmpty && bt.exceptAll(rv).isEmpty
+      Seq("slice_docs" -> sliceN,
+        "micro_batches" -> (16 / 2),
+        "stream_wall_sec" -> math.rint(streamSec * 100) / 100,
+        "stream_docs_per_sec" -> math.rint(sliceN / streamSec),
+        "candidate_hits" -> nHits,
+        "reverified_pairs" -> reverified.count(),
+        "batch_pairs" -> batch.count(),
+        "stream_reverify_equals_batch" -> equal)
+    }
+
     // ---- AQE skew-join split on the zipf host key -------------------------
     phase("aqe_skew_join") {
       // dimension-style host join with broadcast disabled: the zipf head
