@@ -61,9 +61,16 @@ object DedupScale {
     rmTree(new java.io.File(base))
     Files.createDirectories(Paths.get(base))
 
+    // shuffle parallelism ∝ input (what a cluster deployment sizes by
+    // data volume): 64 partitions carried 2M–5M docs, but at 10M the
+    // per-partition SMJ sorts of shingle-array rows exhausted execution
+    // memory across 32 concurrent tasks (observed SparkOutOfMemoryError);
+    // ~50k docs per partition keeps each sort buffer modest and AQE
+    // coalesces the small stages back down
+    val shufflePartitions = math.max(64L, nDocs / 50000L)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
