@@ -101,6 +101,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the JSON contract uses f-interpolated doubles, which follow the
+    // default locale — pin it so a comma-decimal host can't break the line
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCpus = math.max(1, cpus / 4)
@@ -132,7 +135,7 @@ object Bench {
             -1.0
           }
         }
-        if (draws.exists(_ < 0) && !failed.contains(name)) failed += name
+        if (draws.exists(_ < 0)) failed += name
         name -> draws
     }
     val results = queryDraws.map { case (name, draws) =>

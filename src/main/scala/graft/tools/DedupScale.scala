@@ -40,7 +40,12 @@ object DedupScale {
   private def renderJson(v: Any): String = v match {
     case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n") + "\""
-    case d: Double => if (d == d.floor && d.abs < 1e15) f"$d%.1f" else f"$d%.4f"
+    case d: Double =>
+      // Locale.ROOT: the f interpolator follows the default locale, and a
+      // comma-decimal locale would emit invalid JSON
+      String.format(java.util.Locale.ROOT,
+        if (d == d.floor && d.abs < 1e15) "%.1f" else "%.4f",
+        java.lang.Double.valueOf(d))
     case m: Seq[_] if m.nonEmpty && m.head.isInstanceOf[(_, _)] =>
       m.asInstanceOf[Seq[(String, Any)]]
         .map { case (k, x) => "\"" + k + "\":" + renderJson(x) }
@@ -54,11 +59,7 @@ object DedupScale {
     val bucketCap = 512
     val minJ = 0.8
     val base = "/dev/shm/graft_scale"
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
-      f.delete(): Unit
-    }
-    rmTree(new java.io.File(base))
+    ToolFs.rmTree(new java.io.File(base))
     Files.createDirectories(Paths.get(base))
 
     // shuffle parallelism ∝ input (what a cluster deployment sizes by
@@ -213,11 +214,16 @@ object DedupScale {
           .intersect(bf.select("query_id", "neighbor_id")).count()
         math.rint(hit.toDouble / nBf * 1e4) / 1e4
       }
+      // time ONLY the nprobe=32 query execution (materialize then count);
+      // the recall intersect against the brute-force frame runs untimed,
+      // symmetric with how the nprobe=8 figure is produced
       val t32 = System.nanoTime()
-      val ivf32 = graft.similarity.Ann.ivfTopK(
-        queries, emb, "doc_id", "doc_id", "embedding", 10, cents, nprobe = 32)
-      val recall32 = recall(ivf32)
+      val ivf32 = graft.analytics.Materialize(graft.similarity.Ann.ivfTopK(
+        queries, emb, "doc_id", "doc_id", "embedding", 10, cents,
+        nprobe = 32))
+      ivf32.count(): Unit
       val sec32 = (System.nanoTime() - t32) / 1e9
+      val recall32 = recall(ivf32)
       Seq("nlist" -> nlist, "queries" -> 64, "k" -> 10,
         "ivf_rows" -> nIvf,
         "recall_at_10_nprobe8" -> recall(ivf),
@@ -361,7 +367,13 @@ object DedupScale {
       "heap" -> (Runtime.getRuntime.maxMemory / (1 << 20) + "MB"),
       "phases" -> phases.toSeq)
     val json = renderJson(out)
-    Files.writeString(Paths.get("DEDUP_SCALE.json"), json + "\n")
+    // non-default scales get their own artifact file — a 5M/10M regen must
+    // never clobber the committed 2M evidence
+    val outFile =
+      if (nDocs == 2000000L) "DEDUP_SCALE.json"
+      else if (nDocs % 1000000L == 0L) s"DEDUP_SCALE_${nDocs / 1000000L}M.json"
+      else s"DEDUP_SCALE_$nDocs.json"
+    Files.writeString(Paths.get(outFile), json + "\n")
     println(json)
     spark.stop()
   }

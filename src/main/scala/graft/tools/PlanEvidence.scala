@@ -147,11 +147,7 @@ object PlanEvidence {
     // fixed path (not a temp dir): the scan's Location line embeds the
     // path, and PLANS.md must regenerate byte-identically
     val pruneDir = "/tmp/graft_plans_prune"
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
-      f.delete(): Unit
-    }
-    rmTree(new java.io.File(pruneDir))
+    ToolFs.rmTree(new java.io.File(pruneDir))
     graft.pipeline.QualityPipeline.writeAnnotated(
       graft.pipeline.QualityPipeline.annotate(
         graft.synth.SynthPages.pages(spark, 1000L)),
