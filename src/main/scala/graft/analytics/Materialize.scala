@@ -52,6 +52,35 @@ object Materialize {
       reliable(ds)
     } else ds.localCheckpoint(true)
 
+  /** [[apply]] variant that PRESERVES the frame's physical partitioning and
+    * ordering metadata through the checkpoint. Under AQE the root plan
+    * reports `UnknownPartitioning`, so the default path yields a
+    * `LogicalRDD` Catalyst re-exchanges for every downstream join/window on
+    * the very key the frame is already partitioned by. Disabling AQE for
+    * just the materialization ACTION makes the checkpointed `LogicalRDD`
+    * carry `hashpartitioning(...)` + the sort order, and downstream
+    * consumers keyed on the same columns plan NO re-exchange and NO
+    * re-sort (measured: the dedup band-key self-join goes from 2 narrow
+    * re-exchanges + sorts to zero). The materialization itself forgoes AQE,
+    * which costs nothing for the frames this is used on: their one shuffle
+    * feeds a window/aggregate (no join for AQE to skew-split) and the
+    * partition count is sized explicitly by the caller's session conf.
+    * Caveat: the AQE flag is SESSION state — a concurrent action on the
+    * same session during the (short) materialization also runs without
+    * AQE; single-action driver flows (all engine operators) are unaffected.
+    */
+  def partitioned(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.getOption(key)
+    conf.set(key, "false")
+    try apply(df)
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   /** Runs `body` with the context checkpoint directory temporarily set to
     * `dir` (no-op when `dir` is None), restoring the PREVIOUS value — set or
     * unset — afterwards. The checkpoint dir is GLOBAL mutable state on the

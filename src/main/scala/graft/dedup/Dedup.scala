@@ -76,8 +76,9 @@ object Dedup {
 
   /** Candidate near-dup pairs (id_a < id_b) from LSH bucketing, each verified
     * with exact Jaccard over the shingle sets; `minJaccard` filters the
-    * verified similarity. Shuffles: one per-band explode+groupBy (fused into
-    * a single shuffle on band_key) and the candidate join-back.
+    * verified similarity. Shuffles: ONE band-key shuffle total (the
+    * [[sizedBands]] explode+window, materialized so every pairing branch
+    * reads it — see [[pairsFromSized]]) plus the candidate join-back.
     *
     * Skew guard: a band bucket larger than `bucketCap` (boilerplate/template
     * mega-clusters — the one place bucketed LSH still goes quadratic) is NOT
@@ -102,16 +103,15 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, shingleN: Int = 3,
       bucketCap: Int = Int.MaxValue): DataFrame =
-    // The signature frame feeds SEVEN plan branches (both sides of the
-    // small-bucket self-join, the star and chain mega-bucket paths, and
-    // the two verify joins); Catalyst plans each branch separately (the
-    // subtrees differ after pruning, so ReusedExchange never fires) and
-    // would recompute tokenization + shingle + minhash per branch.
-    // Materializing sigs once (eager localCheckpoint) replaces 7×
-    // signature compute with one pass + block reads. At sandbox scale the
-    // wall clock is a wash (~4 s either way at sf0.1 — host noise dwarfs
-    // the signature cost on 32 cores); the 7×→1× compute reduction is the
-    // 100-TB term, where tokenize+shingle+hash dominates the job.
+    // The signature frame feeds the banded build plus the two verify
+    // joins; Catalyst plans each branch separately (the subtrees differ
+    // after pruning, so ReusedExchange never fires) and would recompute
+    // tokenization + shingle + minhash per branch. Materializing sigs
+    // once (eager localCheckpoint) replaces the per-branch signature
+    // compute with one pass + block reads — the 100-TB term, where
+    // tokenize+shingle+hash dominates the job. The banded frame is then
+    // materialized AGAIN inside nearDupsFromSigs so the pairing runs one
+    // band-key shuffle instead of one per branch (see pairsFromSized).
     nearDupsFromSigs(
       graft.analytics.Materialize(
         buildSigs(df, idCol, textCol, shingleN)),
@@ -127,10 +127,31 @@ object Dedup {
       .select(col(idCol).as("id"), col("shingles"), col("minhash"))
 
   private def nearDupsFromSigs(sigs: DataFrame, minJaccard: Double,
-      bucketCap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sized = sizedBands(sigs)
+      bucketCap: Int): DataFrame =
+    pairsFromSized(sigs,
+      graft.analytics.Materialize.partitioned(sizedBands(sigs)),
+      minJaccard, bucketCap)
 
+  /** Pairing over a MATERIALIZED [[sizedBands]] frame: the band explode +
+    * window — the operator's one band-key shuffle — runs ONCE, and all
+    * four pairing branches (both sides of the small-bucket self-join, the
+    * mega-bucket star, and the mega-bucket chain) read the result. The
+    * materialization is [[graft.analytics.Materialize.partitioned]], so
+    * the checkpointed frame still ADVERTISES its hash partitioning and
+    * sort order on `band_key`: the self-join and the census plan no
+    * re-exchange and no re-sort of their own. (Before round 5 each branch
+    * re-derived the banded frame — five separate
+    * Generate+Exchange(band_key)+Window chains in the committed plan; the
+    * dominant DEDUP_SCALE phase carried a ~5× avoidable shuffle factor on
+    * exactly its hottest key.) `minhash` is deliberately NOT carried into
+    * the banded frame: ×Bands duplication of the 32-long signature would
+    * make the one shuffle ~10× wider per row; only the chain branch needs
+    * it, only for capped-bucket rows, and joins it back from the already-
+    * materialized sigs.
+    */
+  private def pairsFromSized(sigs: DataFrame, sized: DataFrame,
+      minJaccard: Double, bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val smallSide = sized.filter(col("bsz") <= bucketCap)
       .select("id", "band_key")
     val allPairs = smallSide.as("x").join(smallSide.as("y").hint("merge"),
@@ -170,8 +191,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** One row per (id, band_key) with the bucket's size and min id — one
-    * shuffle on band_key serves both the size census and the pairing.
+  /** One row per (id, band_key) with the bucket's size and min id — the
+    * operator's ONE shuffle on band_key, materialized partition-preserving
+    * by the callers so the census and every pairing branch read the same
+    * frame without re-exchanging it.
     */
   private def sizedBands(sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -200,7 +223,10 @@ object Dedup {
       shingleN: Int = 3, bucketCap: Int = Int.MaxValue): DataFrame =
     censusFromSigs(buildSigs(df, idCol, textCol, shingleN), bucketCap)
 
-  private def censusFromSigs(sigs: DataFrame, bucketCap: Int): DataFrame = {
+  private def censusFromSigs(sigs: DataFrame, bucketCap: Int): DataFrame =
+    censusFromSized(sizedBands(sigs.select("id", "minhash")), bucketCap)
+
+  private def censusFromSized(sized: DataFrame, bucketCap: Int): DataFrame = {
     // `id === bmin` picks exactly one census row per bucket. Per-bucket
     // skipped pairs are clamped at 0: a just-over-cap bucket of size 2–3
     // emits MORE star+chain edges than C(s,2) and must not offset real
@@ -211,7 +237,7 @@ object Dedup {
     // worst bucket), and telemetry may be approximate but must never
     // fail the job or lie low. coalesce: zero buckets ⇒ 0s, not NULLs.
     val bszD = col("bsz").cast("double")
-    sizedBands(sigs.select("id", "minhash"))
+    sized
       .filter(col("id") === col("bmin"))
       .agg(count(lit(1)).as("n_buckets"),
         coalesce(sum(when(col("bsz") > bucketCap, 1L).otherwise(0L)),
@@ -230,9 +256,10 @@ object Dedup {
 
   /** [[minhashNearDups]] plus an EAGER truncation census. The
     * shingle/minhash signatures — the dominant cost of the whole pass — are
-    * computed ONCE and materialized (eager localCheckpoint); the census
-    * aggregate and the pairing both read the materialized frame, so the
-    * stats never double the signature work. A capped run that actually
+    * computed ONCE and materialized (eager localCheckpoint), and so is the
+    * banded [[sizedBands]] frame: the census aggregate and all four pairing
+    * branches read the SAME single band-key shuffle, so the stats never
+    * double the signature OR the banding work. A capped run that actually
     * truncated logs a warning, so silent recall loss is impossible.
     */
   def minhashNearDupsWithStats(df: DataFrame, idCol: String, textCol: String,
@@ -240,7 +267,8 @@ object Dedup {
       bucketCap: Int = Int.MaxValue): (DataFrame, BucketStats) = {
     val sigs = graft.analytics.Materialize(
       buildSigs(df, idCol, textCol, shingleN))
-    val row = censusFromSigs(sigs, bucketCap).collect()(0)
+    val sized = graft.analytics.Materialize.partitioned(sizedBands(sigs))
+    val row = censusFromSized(sized, bucketCap).collect()(0)
     val stats = BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
     if (stats.cappedBuckets > 0)
       System.err.println(
@@ -248,7 +276,7 @@ object Dedup {
           s"${stats.cappedBuckets} bucket(s); up to ${stats.skippedPairs} " +
           "candidate pair(s) not examined — near-dup recall inside those " +
           "buckets is adjacency/representative only")
-    (nearDupsFromSigs(sigs, minJaccard, bucketCap), stats)
+    (pairsFromSized(sigs, sized, minJaccard, bucketCap), stats)
   }
 
   /** Batch EXACT re-verification of a candidate pair frame against the
@@ -321,16 +349,43 @@ object Dedup {
   }
 
   // ---- n-gram Jaccard (direct, bounded scope) -----------------------------
+  /** DUPLICATE-ID CONTRACT shared by all three jaccard entry points
+    * ([[jaccardPrefixJoin]], [[jaccardWithinGroup]],
+    * [[jaccardWithinGroupLsh]]): rows sharing (grp, id) merge to their
+    * shingle/token-set UNION before any pairing, so every entry point
+    * computes the same per-(grp, id) sets and their verified outputs agree
+    * on duplicate-id inputs (one output row per pair, never one per input-
+    * row combination). The guard costs one map-side-combined aggregate
+    * exchange; callers that OWN the uniqueness contract (e.g. output of
+    * [[exactDedup]], or a table with a unique key) skip it with
+    * `assumeUniqueIds = true` — under which duplicate-id inputs are
+    * undefined behavior (ghost rows, inflated sizes), exactly like any
+    * violated uniqueness contract.
+    */
+  private def mergedShingleSets(df: DataFrame, idCol: String,
+      textCol: String, groupCol: String, shingleN: Int,
+      assumeUniqueIds: Boolean): DataFrame = {
+    val perRow = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      array_distinct(shingle_hashes(normTokens(col(textCol)), shingleN))
+        .as("sh"))
+    val merged =
+      if (assumeUniqueIds) perRow
+      else perRow.groupBy("grp", "id")
+        .agg(array_distinct(flatten(collect_list(col("sh")))).as("sh"))
+    merged.filter(size(col("sh")) > 0)
+  }
+
   /** Exact pairwise word-n-gram Jaccard within a grouping column (e.g. a
     * pre-bucket like source/host). The group bounds the quadratic work.
+    * Duplicate-id handling per [[mergedShingleSets]]'s shared contract.
     */
   def jaccardWithinGroup(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, minJaccard: Double, shingleN: Int = 3): DataFrame = {
+      groupCol: String, minJaccard: Double, shingleN: Int = 3,
+      assumeUniqueIds: Boolean = false): DataFrame = {
     // materialized once: both sides of the self-join would otherwise
     // re-tokenize + shingle every document (the same 2× the siblings fix)
-    val sets = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
-      array_distinct(shingle_hashes(normTokens(col(textCol)), shingleN)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sets = mergedShingleSets(df, idCol, textCol, groupCol, shingleN,
+        assumeUniqueIds)
       .transform(graft.analytics.Materialize.apply)
     // size-ratio pruning (similarity-join standard): J(A,B) ≤ min/max of the
     // set sizes, so J ≥ t requires min ≥ t·max — evaluated in the join
@@ -386,7 +441,9 @@ object Dedup {
     *   unique — skips the duplicate-id merge aggregate (one exchange of
     *   the token arrays; real money at volume when the caller has just
     *   deduplicated). If the contract is violated, the two token orders
-    *   may disagree on duplicate-id rows (the pre-guard divergence).
+    *   may disagree on duplicate-id rows (the pre-guard divergence). The
+    *   same guard + opt-out applies to ALL jaccard entry points — see
+    *   [[mergedShingleSets]] for the shared duplicate-id contract.
     */
   def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, minJaccard: Double,
@@ -485,13 +542,17 @@ object Dedup {
     * rows), so use the exact variant only where a group-size contract holds.
     */
   def jaccardWithinGroupLsh(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, minJaccard: Double, shingleN: Int = 3): DataFrame = {
+      groupCol: String, minJaccard: Double, shingleN: Int = 3,
+      assumeUniqueIds: Boolean = false): DataFrame = {
     // materialized once: feeds both sides of the band self-join and both
-    // verify joins (4× the shingle+minhash compute otherwise)
-    val sigs = withMinHash(df, textCol, shingleN)
-      .select(col(groupCol).as("grp"), col(idCol).as("id"),
-        array_distinct(col("shingles")).as("sh"), col("minhash"))
-      .filter(size(col("sh")) > 0)
+    // verify joins (4× the shingle+minhash compute otherwise). The minhash
+    // is computed over the per-(grp, id) MERGED set ([[mergedShingleSets]]
+    // contract); for unique-id inputs this equals the per-row signature
+    // (min over a multiset ignores duplicates), so the unique-input output
+    // is byte-identical to the pre-guard operator.
+    val sigs = mergedShingleSets(df, idCol, textCol, groupCol, shingleN,
+        assumeUniqueIds)
+      .withColumn("minhash", minhash_signature(col("sh"), NumHashes))
       .transform(graft.analytics.Materialize.apply)
     // candidate keys only through the band join + distinct (the heavy
     // shingle arrays join back per verified candidate, as in minhashNearDups)

@@ -115,9 +115,13 @@ object Ann {
     // ArrayIndexOutOfBounds the accumulation loop below: train on the
     // sample's modal length only (ties break to the longer dimension —
     // deterministic)
+    // maxBy over the (count, length) pairs directly: building a Map keyed
+    // by count would collapse equal-count lengths to one arbitrary entry
+    // and the documented longer-dimension tie-break would depend on
+    // HashMap iteration order
     val dim: Int =
       if (raw.isEmpty) 0
-      else raw.groupBy(_.length).map { case (l, g) => (g.length, l) }.max._2
+      else raw.groupBy(_.length).maxBy { case (l, g) => (g.length, l) }._1
     val sample: Array[Array[Double]] = raw
       .filter(_.length == dim)
       .map(normalize)

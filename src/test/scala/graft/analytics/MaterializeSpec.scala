@@ -48,6 +48,48 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned: checkpointed frame advertises its hash partitioning " +
+      "(downstream join on the key plans no re-exchange) and restores the " +
+      "AQE flag — including when the materialization throws") {
+    import org.apache.spark.sql.functions._
+    val grouped = spark.range(1000)
+      .select(col("id"), pmod(col("id"), lit(7)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val m = Materialize.partitioned(grouped)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "AQE flag not restored after partitioned materialization")
+    val joined = m.as("x").join(m.as("y").hint("merge"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(k"),
+      s"partitioned frame lost its partitioning metadata:\n$plan")
+    assert(joined.count() == 7)
+    // (No plain-Materialize contrast here: whether the DEFAULT path loses
+    // the metadata depends on AQE's runtime coalescing — a single-partition
+    // outcome needs no exchange either way. The operator-level proof that
+    // partitioned() removes real exchanges is DedupSpec's one-band-key-
+    // shuffle plan pin.)
+    // failure path restores the flag too
+    intercept[Exception] {
+      Materialize.partitioned(spark.range(10)
+        .select((col("id") / (col("id") - col("id"))).cast("long").as("x"),
+          assert_true(lit(false)).as("boom")))
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "AQE flag leaked false after a failed partitioned materialization")
+  }
+
+  test("SparkContext still generates the checkpointDir_$eq setter " +
+      "withCheckpointDir restores through (Spark-upgrade guard: a rename " +
+      "must fail CI here, not a 20-minute scale run at its restore point)") {
+    val sc = spark.sparkContext
+    val setter = sc.getClass.getMethods.find(_.getName == "checkpointDir_$eq")
+    assert(setter.isDefined,
+      "SparkContext.checkpointDir_$eq disappeared — update " +
+        "Materialize.withCheckpointDir's restore seam for this Spark version")
+    assert(setter.get.getParameterTypes.toSeq == Seq(classOf[Option[_]]),
+      s"checkpointDir setter signature changed: ${setter.get}")
+  }
+
   test("default path is the in-memory localCheckpoint (no files written)") {
     import spark.implicits._
     assert(spark.conf.getOption(Materialize.ReliableConfKey).isEmpty)

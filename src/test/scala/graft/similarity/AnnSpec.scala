@@ -226,6 +226,20 @@ class AnnSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("ragged corpus with an exact modal-length TIE trains on the LONGER " +
+      "dimension (the documented tie-break, not HashMap iteration order)") {
+    import spark.implicits._
+    // 6 vectors of length 4, 6 of length 7: counts tie exactly — the old
+    // Map-keyed-by-count selection silently dropped one entry and could
+    // pick either; the contract says the longer dimension wins
+    val tied = ((0L to 5L).map(i => (i, Seq.fill(4)(0.1 * (i + 1)))) ++
+        (6L to 11L).map(i => (i, Seq.fill(7)(0.2 * (i + 1)))))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.trainIvfCentroids(tied, "vec_id", "embedding", nlist = 2)
+    assert(cents.forall(_.length == 7),
+      s"tie must break to the longer dimension, got ${cents.head.length}")
+  }
+
   test("hyperplane bucket is deterministic and balanced enough") {
     val df = corpus(500)
     val buckets = df.select(
