@@ -256,6 +256,61 @@ object Queries {
           round(avg(abs(col("l_quantity") - col("l_linenumber"))), 6).as("mae"))
   }
 
+  // --- A9b: Pearson + Spearman score correlation (small_model_inference/
+  //     results.ipynb cell 6: pearsonr/spearmanr over reference-vs-model
+  //     int scores; recorded 0.8668/0.8584). ref is the golden score, out a
+  //     clipped planted perturbation of it — the reference's eval pair
+  //     shape. Spearman uses TIE-AVERAGED ranks (scipy semantics): scores
+  //     live in a small closed domain, so average ranks come from a tiny
+  //     per-value count aggregate + broadcast join back — never a global
+  //     ORDER BY window over the corpus (the single-task collapse Align
+  //     exists to avoid). The oracle derives the identical average ranks
+  //     with rank()+(cnt−1)/2 window algebra.
+  register("q_a9_correlation",
+    """WITH s AS (
+      |  SELECT CAST(n_chars % 6 AS INT) AS ref,
+      |         least(greatest(CAST(n_chars % 6 AS INT) +
+      |           CASE WHEN doc_id % 11 = 0 THEN 1
+      |                WHEN doc_id % 13 = 0 THEN -1 ELSE 0 END, 0), 5) AS out
+      |  FROM documents),
+      |r AS (
+      |  SELECT ref, out,
+      |         rank() OVER (ORDER BY ref)
+      |           + (count(*) OVER (PARTITION BY ref) - 1) / 2.0 AS ref_rank,
+      |         rank() OVER (ORDER BY out)
+      |           + (count(*) OVER (PARTITION BY out) - 1) / 2.0 AS out_rank
+      |  FROM s)
+      |SELECT round(corr(ref, out), 6) AS pearson,
+      |       round(corr(ref_rank, out_rank), 6) AS spearman,
+      |       count(*) AS n_docs
+      |FROM r""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = t(s, dir, "documents").select(
+      (col("n_chars") % 6).cast("int").as("ref"),
+      least(greatest((col("n_chars") % 6).cast("int") +
+          when(col("doc_id") % 11 === 0, 1)
+            .when(col("doc_id") % 13 === 0, -1).otherwise(0),
+        lit(0)), lit(5)).as("out"))
+    // tie-averaged rank of each distinct value: cnt_below + (cnt+1)/2,
+    // from the per-value counts (≤ 6 rows — the unpartitioned running-sum
+    // window is over that tiny frame, not the corpus)
+    def avgRanks(c: String): DataFrame = {
+      val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+      scored.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn(s"${c}_rank",
+          coalesce(sum("cnt").over(w), lit(0L)) + (col("cnt") + 1) / 2.0)
+        .select(col(c), col(s"${c}_rank"))
+    }
+    scored
+      .join(broadcast(avgRanks("ref")), Seq("ref"))
+      .join(broadcast(avgRanks("out")), Seq("out"))
+      .agg(
+        round(corr(col("ref").cast("double"), col("out").cast("double")), 6)
+          .as("pearson"),
+        round(corr(col("ref_rank"), col("out_rank")), 6).as("spearman"),
+        count(lit(1)).as("n_docs"))
+  }
+
   // --- A10: confusion-matrix counts (comparison.py:136) --------------------
   register("q_a10_confusion",
     """SELECT lang, source, count(*) AS n FROM documents
