@@ -163,8 +163,20 @@ object StreamOps {
             state.update(
               BucketState(entries.map(_._1).toArray,
                 entries.map(_._2).toArray, maxTs))
+            // Spark's late filter for this operator uses the PREVIOUS
+            // micro-batch's watermark while timeout validation uses the
+            // CURRENT one (SPARK-39931 semantics): an out-of-order replay
+            // can deliver rows that pass the (lagged) late filter yet sit
+            // more than `lateness` below the eviction watermark, and the
+            // natural timeout anchor would then be in the past — Spark
+            // fails the whole query (observed live on a shuffled-file
+            // replay). Clamp the anchor to just past the current
+            // watermark: the bucket expires at the earliest legal instant
+            // instead of killing the stream, and its entries still pair
+            // within their arrival batch — late pairing only ADDS recall.
             if (maxTs != Long.MinValue)
-              state.setTimeoutTimestamp(maxTs, lateness)
+              state.setTimeoutTimestamp(
+                math.max(maxTs, state.getCurrentWatermarkMs() + 1), lateness)
             out.iterator
           }
       }

@@ -192,6 +192,104 @@ object DedupScale {
           "path owns that mass"))
     }
 
+    // ---- SimHash near-dup over the bounded-cluster slice -----------------
+    phase("simhash_near_dup") {
+      // simhashNearDups has no bucketCap: a mega template cluster sharing
+      // one 16-bit band value is all-pairs BY CONSTRUCTION, so (same
+      // rationale as the exact jaccard phase) the mega mass belongs to the
+      // capped LSH path and this phase runs the bounded-cluster slice.
+      // 16-bit bands are the 64-bit/hamming≤3 pigeonhole split; at larger
+      // corpora the band count/width widens with the signature.
+      val lim = math.min(nDocs, 1000000L)
+      val slice = corpus
+        .filter((col("cluster") === -1L || col("cluster") >= 2000L) &&
+          col("doc_id") < lim)
+      val sliceN = slice.count()
+      val pairs = graft.analytics.Materialize(
+        Dedup.simhashNearDups(slice, "doc_id", "text", maxHamming = 3))
+      val nPairsSim = pairs.count()
+      // recovery oracle: pristine members (n_edits = 0) of one cluster are
+      // byte-identical texts → identical simhash → hamming 0 → guaranteed
+      // band collision. Every planted pristine pair MUST be recovered;
+      // edited members (1-2 token edits) land wherever the simhash bit
+      // flips put them — their observed rate is the hamming≤3 S-curve,
+      // reported, not asserted.
+      val meta = slice.filter(col("cluster") >= 0)
+        .select(col("doc_id"), col("cluster"), col("n_edits"))
+      def plantedPairs(m: org.apache.spark.sql.DataFrame): Long =
+        m.groupBy("cluster").agg(count(lit(1)).as("k"))
+          .filter(col("k") >= 2)
+          .agg(coalesce(sum(col("k") * (col("k") - 1) / 2), lit(0.0)))
+          .head().getDouble(0).toLong
+      val plantedPristine = plantedPairs(meta.filter(col("n_edits") === 0))
+      val plantedAll = plantedPairs(meta)
+      val tagged = pairs
+        .join(meta.select(col("doc_id").as("id_a"),
+          col("cluster").as("cl_a"), col("n_edits").as("e_a")).hint("merge"),
+          Seq("id_a"))
+        .join(meta.select(col("doc_id").as("id_b"),
+          col("cluster").as("cl_b"), col("n_edits").as("e_b")).hint("merge"),
+          Seq("id_b"))
+        .filter(col("cl_a") === col("cl_b"))
+      val recSame = tagged.count()
+      val recPristine = tagged
+        .filter(col("e_a") === 0 && col("e_b") === 0).count()
+      Seq("slice_docs" -> sliceN, "max_hamming" -> 3,
+        "pairs" -> nPairsSim,
+        "planted_pristine_pairs" -> plantedPristine,
+        "recovered_pristine_pairs" -> recPristine,
+        "pristine_recall" -> (if (plantedPristine == 0) 0.0
+          else math.rint(recPristine.toDouble / plantedPristine * 1e4) / 1e4),
+        "planted_cluster_pairs_any_edits" -> plantedAll,
+        "recovered_same_cluster_pairs" -> recSame)
+    }
+
+    // ---- embedding near-dup over the bounded-cluster slice ----------------
+    phase("embedding_near_dup") {
+      // same slice rationale; additionally capped at 400k ids — candidate
+      // rows carry BOTH 64-dim vectors through the verify join, so volume
+      // is budgeted by candidate count, and single-band hyperplane LSH at
+      // 12 planes is the measured recall point (cluster vectors sit at
+      // cosine ≳ 0.999; P[all 12 signs agree] ≈ (1 − θ/π)^12 ≈ 0.9)
+      val lim = math.min(nDocs, 400000L)
+      val slice = corpus
+        .filter((col("cluster") === -1L || col("cluster") >= 2000L) &&
+          col("doc_id") < lim)
+        .select(col("doc_id"), col("cluster"), col("embedding"))
+      val sliceN = slice.count()
+      val pairs = graft.analytics.Materialize(Dedup.embeddingNearDups(
+        slice, "doc_id", "embedding", minCosine = 0.95, planes = 12,
+        dim = 64))
+      val nPairsEmb = pairs.count()
+      val meta = slice.filter(col("cluster") >= 0)
+        .select(col("doc_id"), col("cluster"))
+      val planted = meta.groupBy("cluster").agg(count(lit(1)).as("k"))
+        .filter(col("k") >= 2)
+        .agg(coalesce(sum(col("k") * (col("k") - 1) / 2), lit(0.0)))
+        .head().getDouble(0).toLong
+      val recovered = pairs
+        .join(meta.select(col("doc_id").as("id_a"),
+          col("cluster").as("cl_a")).hint("merge"), Seq("id_a"))
+        .join(meta.select(col("doc_id").as("id_b"),
+          col("cluster").as("cl_b")).hint("merge"), Seq("id_b"))
+        .filter(col("cl_a") === col("cl_b")).count()
+      // bucket census: the quadratic budget is Σ C(bucket, 2)
+      val buckets = graft.analytics.Materialize(slice.select(
+          graft.similarity.Ann.hyperplaneBucket(col("embedding"), 12, 64)
+            .as("b"))
+        .groupBy("b").agg(count(lit(1)).as("sz")))
+      val bRow = buckets.agg(count(lit(1)), max("sz"),
+        coalesce(sum(col("sz") * (col("sz") - 1) / 2), lit(0.0))).head()
+      Seq("slice_docs" -> sliceN, "min_cosine" -> 0.95, "planes" -> 12,
+        "pairs" -> nPairsEmb,
+        "planted_cluster_pairs" -> planted,
+        "recovered_cluster_pairs" -> recovered,
+        "single_band_recall" -> (if (planted == 0) 0.0
+          else math.rint(recovered.toDouble / planted * 1e4) / 1e4),
+        "n_buckets" -> bRow.getLong(0), "max_bucket" -> bRow.getLong(1),
+        "candidate_pairs_budget" -> bRow.getDouble(2).toLong)
+    }
+
     // ---- IVF ANN over the full corpus ------------------------------------
     phase("ivf_topk") {
       val emb = corpus.select(col("doc_id"), col("embedding"))
@@ -292,6 +390,10 @@ object DedupScale {
       q.processAllAvailable()
       q.stop()
       val streamSec = (System.nanoTime() - t0) / 1e9
+      // measured, not assumed: the landing-file count over maxFilesPerTrigger
+      // is an implementation detail of the write above — the progress log is
+      // the ground truth for how many micro-batches actually carried rows
+      val microBatches = q.recentProgress.count(_.numInputRows > 0)
       val hits = spark.table("scale_stream")
       val nHits = hits.select("id_a", "id_b").distinct().count()
       val reverified = graft.analytics.Materialize(Dedup.reverifyPairs(
@@ -302,13 +404,89 @@ object DedupScale {
       val bt = batch.select("id_a", "id_b")
       val equal = rv.exceptAll(bt).isEmpty && bt.exceptAll(rv).isEmpty
       Seq("slice_docs" -> sliceN,
-        "micro_batches" -> (16 / 2),
+        "micro_batches" -> microBatches,
         "stream_wall_sec" -> math.rint(streamSec * 100) / 100,
         "stream_docs_per_sec" -> math.rint(sliceN / streamSec),
         "candidate_hits" -> nHits,
         "reverified_pairs" -> reverified.count(),
         "batch_pairs" -> batch.count(),
         "stream_reverify_equals_batch" -> equal)
+    }
+
+    // ---- streaming state bound under the MEGA cluster ---------------------
+    phase("stream_state_bound") {
+      // The r4 stream phase ran the bounded-cluster slice (candidate-set
+      // identity proof); THIS one streams a slice INCLUDING the zipf head
+      // cluster with a SMALL bucketCap — the hot-template case where an
+      // unbounded design accumulates O(cluster) state. Event time advances
+      // with doc_id (1 s/doc) and files land in id order
+      // (repartitionByRange), so the watermark genuinely moves and cold
+      // buckets expire: state must PLATEAU at O(docs-per-lateness-window),
+      // far under the O(slice) a growing store would show, while the FIFO
+      // cap bounds the mega bucket's entry arrays and exact dups keep
+      // pairing throughout.
+      val top = topClusters(0)._1
+      val lim = math.min(nDocs, 200000L)
+      val slice = corpus
+        .filter((col("cluster") === top || col("cluster") === -1L) &&
+          col("doc_id") < lim)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1767225600L) + col("doc_id")).as("ts"))
+      val sliceN = slice.count()
+      val megaIds = corpus.filter(col("cluster") === top &&
+        col("doc_id") < lim).select(col("doc_id").as("id"))
+      val megaN = megaIds.count()
+      // land the files SEQUENTIALLY in id order: FileStreamSource orders
+      // new files by modification time, so micro-batches then replay the
+      // corpus in event-time order and the watermark advances monotonically
+      // (a bulk repartitionByRange write lands parts in task-completion
+      // order — event time would arrive shuffled and every batch would mix
+      // late data; the operator survives that too, but THIS phase measures
+      // the steady-state plateau, which needs an orderly replay)
+      val landing = s"$base/state_landing"
+      ToolFs.rmTree(new java.io.File(landing))
+      val step = lim / 16
+      for (i <- 0L until 16L)
+        slice.filter(col("doc_id") >= i * step &&
+            col("doc_id") < (i + 1) * step)
+          .coalesce(1).write.mode("append").parquet(landing)
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing)
+      val cap = 16
+      val q = graft.streaming.StreamOps.nearDupStream(
+          src, "doc_id", "text", "ts", minEstJaccard = 0.8,
+          lateness = "1 hour", bucketCap = cap)
+        .writeStream.format("memory").queryName("state_stream")
+        .option("checkpointLocation", s"$base/state_ckpt")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val stateRows = q.recentProgress.filter(_.numInputRows > 0)
+        .map(p => p.stateOperators.headOption.map(_.numRowsTotal)
+          .getOrElse(0L)).toSeq
+      val hits = spark.table("state_stream")
+      val nHits = hits.select("id_a", "id_b").distinct().count()
+      // exact dups still pair: fraction of mega docs that appear in ≥1 hit
+      // (every arrival pairs against the bucket's current FIFO window)
+      val inHit = hits.select(col("id_a").as("id"))
+        .unionByName(hits.select(col("id_b").as("id"))).distinct()
+      val megaCovered = megaIds.join(inHit.hint("merge"), Seq("id"),
+        "left_semi").count()
+      val unboundedRows = sliceN * graft.dedup.Dedup.Bands
+      Seq("slice_docs" -> sliceN, "mega_docs" -> megaN,
+        "bucket_cap" -> cap,
+        "micro_batches" -> stateRows.length,
+        "state_rows_per_batch" -> stateRows,
+        "peak_state_rows" -> (if (stateRows.isEmpty) 0L else stateRows.max),
+        "unbounded_would_be_rows" -> unboundedRows,
+        "state_plateaued" -> (stateRows.nonEmpty &&
+          stateRows.max < unboundedRows / 3),
+        "candidate_hits" -> nHits,
+        "mega_docs_in_a_hit" -> megaCovered,
+        "mega_hit_coverage" -> (if (megaN == 0) 0.0
+          else math.rint(megaCovered.toDouble / megaN * 1e4) / 1e4))
     }
 
     // ---- AQE skew-join split on the zipf host key -------------------------

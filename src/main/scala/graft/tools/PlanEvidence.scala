@@ -64,15 +64,20 @@ object PlanEvidence {
             pmod(xxhash64(col("url")), lit(8)))
       })
 
-    section("MinHash LSH — bucket join, no cross join (q_dedup_minhash_lsh)",
-      "Candidate pairs come from a shuffle on `band_key` (equi join), never " +
-      "an all-pairs cross join; verification joins back by id. The window " +
-      "over `band_key` (bucket census for the mega-bucket star cap) reuses " +
-      "the same hash partitioning — no extra Exchange beyond the band " +
-      "shuffle itself. The signature frame is materialized ONCE (the " +
-      "`Scan ExistingRDD` leaves): the seven consuming branches would " +
-      "otherwise each recompute tokenize+shingle+minhash, since their " +
-      "pruned subtrees differ and ReusedExchange never fires.")(
+    section("MinHash LSH — bucket join, no cross join, ONE band-key " +
+      "shuffle (q_dedup_minhash_lsh)",
+      "Candidate pairs come from equi-joining band buckets, never an " +
+      "all-pairs cross join; verification joins back by id. The banded " +
+      "frame (band explode + size/min window — the operator's one " +
+      "band-key shuffle) is materialized partition-preserving " +
+      "(`Materialize.partitioned`), so the pairing below contains ZERO " +
+      "`Generate` nodes and the small-bucket self-join runs directly on " +
+      "the checkpointed `Scan ExistingRDD` leaves with NO exchange and " +
+      "NO sort of its own (the r4 plan re-derived the band frame in five " +
+      "separate Generate+Exchange(band_key)+Window chains). The only " +
+      "band-key Exchange left in the pairing is the mega-bucket chain's, " +
+      "which re-keys capped-bucket rows after joining their minhash back " +
+      "from the signature frame — also materialized once.")(
       graft.analytics.Queries.all("q_dedup_minhash_lsh")(spark, sf))
 
     section("Multi-probe ANN — query side replicated, corpus scanned once " +

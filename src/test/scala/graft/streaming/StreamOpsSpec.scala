@@ -125,6 +125,58 @@ class StreamOpsSpec extends AnyFunSuite {
       s"exact dup estimated below 1.0: ${hits.toSeq}")
   }
 
+  test("late rows far below the watermark don't kill the stream (timeout " +
+      "clamp) and still pair — batch-recall semantics for late data") {
+    // flatMapGroupsWithState does NOT pre-filter late input: a bucket fed
+    // ONLY by rows older than watermark − lateness used to compute a
+    // timeout in the past and fail the whole query
+    // ([FLATMAPGROUPSWITHSTATE_USER_FUNCTION_ERROR] ... cannot be earlier
+    // than the current watermark — first hit by the DedupScale
+    // state-bound phase replaying shuffled file order). The clamp expires
+    // such buckets at the earliest legal instant instead.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_latebkt").toString
+    def docs(ts: String, rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf(ts)))
+    val g1 = "unu doi trei patru cinci șase șapte opt nouă zece " * 5
+    val old = "cuvinte sosite târziu din altă zi cu totul " * 5
+    // BOTH files land before the stream starts and maxFilesPerTrigger=1,
+    // so the two batches run back-to-back with NO no-data batch between:
+    // batch 1's late-events filter then still carries batch 0's watermark
+    // (unset — the late filter lags one batch, SPARK-39931) while its
+    // EVICTION watermark has advanced to 09:00 — exactly the out-of-order
+    // replay shape. The 01:00 exact-dup pair passes the late filter, and
+    // its bucket's natural timeout (02:00) is below the eviction
+    // watermark; pre-clamp, setTimeoutTimestamp threw and killed the
+    // whole query. coalesce(1): both late rows must share the ONE file =
+    // one batch (split across batches, the second would fall to the
+    // caught-up late filter and the pair could never form).
+    docs("2026-01-01 10:00:00", 1L -> g1).coalesce(1)
+      .write.parquet(s"$base/landing")
+    Thread.sleep(50) // distinct mtimes: the source replays oldest-first
+    docs("2026-01-01 01:00:00", 20L -> old, 21L -> old).coalesce(1)
+      .write.mode("append").parquet(s"$base/landing")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/landing")
+    val q = StreamOps.nearDupStream(stream, "doc_id", "text", "ts",
+        minEstJaccard = 0.9, lateness = "1 hour")
+      .writeStream.format("memory").queryName("latebkt")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(q.exception.isEmpty,
+      s"late bucket killed the stream: ${q.exception}")
+    val pairs = spark.table("latebkt").as[StreamOps.NearDupHit].collect()
+      .map(h => (h.id_a, h.id_b)).toSet
+    assert(pairs == Set((20L, 21L)),
+      s"late exact dups must still pair: $pairs")
+  }
+
   test("streaming hits ∘ batch re-verify ≡ batch exact pairs: the estimate " +
       "path composes back to exactness through Dedup.reverifyPairs") {
     import spark.implicits._
