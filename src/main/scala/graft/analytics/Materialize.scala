@@ -81,6 +81,18 @@ object Materialize {
     }
   }
 
+  /** Materializes `df` hash-partitioned AND per-partition-sorted on
+    * `keys`, preserving both through the checkpoint ([[partitioned]]) —
+    * the shape a downstream self-join or window keyed on `keys` consumes
+    * with ZERO re-exchange and ZERO re-sort. Use when the frame does not
+    * already end in a shuffle on `keys` (then plain [[partitioned]] is
+    * enough): the one explicit repartition replaces the per-consumer
+    * exchange each plan branch would otherwise run.
+    */
+  def partitionedBy(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame =
+    partitioned(df.repartition(keys: _*).sortWithinPartitions(keys: _*))
+
   /** Runs `body` with the context checkpoint directory temporarily set to
     * `dir` (no-op when `dir` is None), restoring the PREVIOUS value — set or
     * unset — afterwards. The checkpoint dir is GLOBAL mutable state on the

@@ -328,17 +328,22 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // materialized once: the self-join below would otherwise tokenize and
-    // SimHash every document twice (its two pruned subtrees never reuse)
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(normTokens(col(textCol))).as("sim"))
-      .transform(graft.analytics.Materialize.apply)
-    val banded = sigs.select(col("id"), col("sim"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
-      ): _*)).as("bk"))
-      .select(col("id"), col("sim"), col("bk.band"), col("bk.bits"))
+    // the BANDED frame is materialized once, partitioned+sorted on the
+    // join keys: tokenize+SimHash runs a single pass (the self-join's two
+    // pruned subtrees would otherwise each recompute it — and each
+    // re-exchange its side), and both join sides read the checkpointed
+    // frame with no further exchange or sort. Rows are 4/doc and ~30 B.
+    val banded = graft.analytics.Materialize.partitionedBy(
+      df.select(col(idCol).as("id"),
+          simhash64(normTokens(col(textCol))).as("sim"))
+        .select(col("id"), col("sim"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))
+                .as("bits"))
+          ): _*)).as("bk"))
+        .select(col("id"), col("sim"), col("bk.band"), col("bk.bits")),
+      col("band"), col("bits"))
     banded.as("x").join(banded.as("y").hint("merge"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.id") < col("y.id"))
@@ -506,8 +511,14 @@ object Dedup {
         (col("sz") - ceil(col("sz") * minJaccard - lit(1e-9)) + 1)
           .cast("int")))
       .transform(graft.analytics.Materialize.apply)
-    val toks = sets.select(col("grp"), col("id"), col("sz"),
-      explode(col("prefix")).as("tok"))
+    // prefix-token candidates materialized partitioned+sorted on the join
+    // keys: the self-join's two sides read ONE exploded, once-shuffled
+    // frame (≈ (1−t)·|set|+1 narrow rows per doc) instead of each
+    // re-exploding `sets` and re-exchanging on (grp, tok)
+    val toks = graft.analytics.Materialize.partitionedBy(
+      sets.select(col("grp"), col("id"), col("sz"),
+        explode(col("prefix")).as("tok")),
+      col("grp"), col("tok"))
     // same slack on the size-ratio bound: |B| = t·|A| exactly must survive
     val sizeOk =
       col("x.sz").cast("double") >= lit(minJaccard) * col("y.sz") - 1e-9 &&
@@ -555,9 +566,14 @@ object Dedup {
       .withColumn("minhash", minhash_signature(col("sh"), NumHashes))
       .transform(graft.analytics.Materialize.apply)
     // candidate keys only through the band join + distinct (the heavy
-    // shingle arrays join back per verified candidate, as in minhashNearDups)
-    val banded = sigs.select(col("grp"), col("id"), size(col("sh")).as("ssz"),
-      explode(array((0 until Bands).map(bandKey): _*)).as("band_key"))
+    // shingle arrays join back per verified candidate, as in
+    // minhashNearDups); the narrow banded frame is materialized
+    // partitioned+sorted on the join keys so the self-join runs
+    // exchange-free instead of re-deriving and re-shuffling it per side
+    val banded = graft.analytics.Materialize.partitionedBy(
+      sigs.select(col("grp"), col("id"), size(col("sh")).as("ssz"),
+        explode(array((0 until Bands).map(bandKey): _*)).as("band_key")),
+      col("grp"), col("band_key"))
     val sizeOk =
       col("x.ssz").cast("double") >= lit(minJaccard) * col("y.ssz") - 1e-9 &&
       col("y.ssz").cast("double") >= lit(minJaccard) * col("x.ssz") - 1e-9
@@ -701,10 +717,13 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
       minCosine: Double = 0.95, planes: Int = 12, dim: Int = 64): DataFrame = {
     val sign = graft.similarity.Ann.hyperplaneBucket(col(embCol), planes, dim)
-    // materialized once so the self-join doesn't bucket every vector twice
-    val withB = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      sign.as("bucket"))
-      .transform(graft.analytics.Materialize.apply)
+    // materialized once, partitioned+sorted on the bucket key: the
+    // self-join doesn't bucket every vector twice AND doesn't exchange
+    // the (heavy — full embedding per row) frame once per side
+    val withB = graft.analytics.Materialize.partitionedBy(
+      df.select(col(idCol).as("id"), col(embCol).as("emb"),
+        sign.as("bucket")),
+      col("bucket"))
     withB.as("x").join(withB.as("y").hint("merge"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cosine",

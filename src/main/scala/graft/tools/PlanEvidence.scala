@@ -103,10 +103,13 @@ object PlanEvidence {
 
     section("Exact Jaccard via prefix filter — token equi-join, no " +
       "quadratic theta-join (q_dedup_jaccard_group)",
-      "Candidates come from a SortMergeJoin/ShuffledHashJoin on " +
-      "(grp, prefix-token) — an EQUI join — with the verification joining " +
-      "sets back per candidate id; no nested-loop/theta join over group " +
-      "members appears anywhere in the plan.")(
+      "Candidates come from a SortMergeJoin on (grp, prefix-token) — an " +
+      "EQUI join — with the verification joining sets back per candidate " +
+      "id; no nested-loop/theta join over group members appears anywhere " +
+      "in the plan. The exploded prefix-token frame is materialized " +
+      "partitioned+sorted on the join keys (`Materialize.partitionedBy`), " +
+      "so the self-join reads the checkpointed scans with no Generate, " +
+      "no exchange, and no sort of its own.")(
       graft.analytics.Queries.all("q_dedup_jaccard_group")(spark, sf))
 
     section("Distributed global row_number — no single-partition window " +

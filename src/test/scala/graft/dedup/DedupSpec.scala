@@ -652,6 +652,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed self-joins consume ONE materialized banded frame: " +
+      "simhash, embedding, within-group LSH, and the prefix-token join " +
+      "plan no Generate and no exchange on their bucket keys") {
+    import spark.implicits._
+    val base = "unu doi trei patru cinci șase șapte opt nouă zece " * 5
+    val df = docs(1L -> base, 2L -> base, 3L -> ("x " + base),
+      4L -> ("complet diferit text despre altceva aici acum " * 5))
+    val grouped = df.withColumn("grp", lit("g"))
+    val emb = Seq((1L, Seq.fill(8)(0.5)), (2L, Seq.fill(8)(0.5)),
+      (3L, (1 to 8).map(_.toDouble))).toDF("vec_id", "embedding")
+    def pin(name: String, keyPat: String)(
+        mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val plan = mk.queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate "),
+        s"$name re-derives its banded frame per branch:\n$plan")
+      val re = ("Exchange hashpartitioning\\([^\\n]*" + keyPat + "#").r
+      assert(re.findAllIn(plan).isEmpty,
+        s"$name re-exchanges on its bucket key ($keyPat):\n$plan")
+    }
+    pin("simhashNearDups", "bits")(
+      Dedup.simhashNearDups(df, "doc_id", "text"))
+    pin("embeddingNearDups", "bucket")(
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        minCosine = 0.9, planes = 4, dim = 8))
+    pin("jaccardWithinGroupLsh", "band_key")(
+      Dedup.jaccardWithinGroupLsh(grouped, "doc_id", "text", "grp", 0.5))
+    pin("jaccardPrefixJoin hash", "tok")(
+      Dedup.jaccardPrefixJoin(grouped, "doc_id", "text", "grp", 0.5))
+    pin("jaccardPrefixJoin freq", "tok")(
+      Dedup.jaccardPrefixJoin(grouped, "doc_id", "text", "grp", 0.5,
+        freqOrder = true))
+  }
+
   test("embedding near-dups finds planted duplicate vectors") {
     import spark.implicits._
     val v1 = Array.tabulate(8)(i => 0.1 * (i + 1))
