@@ -262,7 +262,13 @@ object Bench {
     // first ~20 entries vanished from the round artifact — so the repo
     // carries a self-contained copy regardless of any capture window.
     println(line)
-    java.nio.file.Files.writeString(
+    // best-effort by design: the println above IS the contract — a
+    // read-only or foreign cwd must not turn a finished bench run into a
+    // nonzero exit after the line already printed
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n"): Unit
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] BENCH_LOCAL.json not written: $e")
+    }
   }
 }

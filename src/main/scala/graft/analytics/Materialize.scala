@@ -65,9 +65,18 @@ object Materialize {
     * which costs nothing for the frames this is used on: their one shuffle
     * feeds a window/aggregate (no join for AQE to skew-split) and the
     * partition count is sized explicitly by the caller's session conf.
-    * Caveat: the AQE flag is SESSION state — a concurrent action on the
-    * same session during the (short) materialization also runs without
-    * AQE; single-action driver flows (all engine operators) are unaffected.
+    * Caveats: (1) the AQE flag is SESSION state — a concurrent action on
+    * the same session during the (short) materialization also runs
+    * without AQE; single-action driver flows (all engine operators) are
+    * unaffected. (2) DOWNSTREAM joins that consume the preserved
+    * partitioning have no shuffle stage on that side, so AQE's
+    * OptimizeSkewedJoin cannot split them at runtime — a consumer whose
+    * key can be pathologically skewed must bound the skew STRUCTURALLY
+    * (the dedup operators' `bucketCap` star/chain guards; a 50k-row hot
+    * bucket is quadratic output with or without AQE splits, so the
+    * structural cap is the real fix and the lost AQE rescue is moot
+    * there — but do not use this variant for joins that rely on skew
+    * splitting).
     */
   def partitioned(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf

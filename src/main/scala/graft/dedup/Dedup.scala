@@ -325,15 +325,56 @@ object Dedup {
   /** SimHash near-dup pairs: 4 × 16-bit band buckets (any doc pair within
     * Hamming distance ≤ 3 of 64 bits shares at least one exact band), then
     * exact Hamming verification via bit_count.
+    *
+    * `bucketCap` is the same OPT-IN mega-bucket skew guard as
+    * [[minhashNearDups]]: a band bucket larger than the cap is not
+    * expanded all-pairs — its members CHAIN in (sim, id) order (identical
+    * signatures sort adjacent, so byte-identical duplicate runs stay
+    * connected) plus a STAR to the bucket's min-id member; every edge is
+    * still exact-Hamming-verified, so a star/chain edge between
+    * dissimilar docs is dropped, never a false merge. Pair with
+    * [[simhashNearDupsWithStats]] so a capped run's truncation is
+    * OBSERVED. (Rationale: the checkpoint-rooted self-join below is not
+    * AQE-skew-splittable, and a 16-bit band holding a 50k-doc template
+    * cluster is C(50k,2) candidate pairs with or without AQE — the cap is
+    * the structural fix, exactly as for minhash.)
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // the BANDED frame is materialized once, partitioned+sorted on the
-    // join keys: tokenize+SimHash runs a single pass (the self-join's two
-    // pruned subtrees would otherwise each recompute it — and each
-    // re-exchange its side), and both join sides read the checkpointed
-    // frame with no further exchange or sort. Rows are 4/doc and ~30 B.
-    val banded = graft.analytics.Materialize.partitionedBy(
+      maxHamming: Int = 3, bucketCap: Int = Int.MaxValue): DataFrame =
+    simhashPairsFromBanded(simhashBanded(df, idCol, textCol), maxHamming,
+      bucketCap)
+
+  /** [[simhashNearDups]] plus the eager truncation census (same
+    * [[BucketStats]] contract and logging as the minhash twin).
+    */
+  def simhashNearDupsWithStats(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3,
+      bucketCap: Int = Int.MaxValue): (DataFrame, BucketStats) = {
+    val banded = simhashBanded(df, idCol, textCol)
+    val row = censusFromSized(banded, bucketCap).collect()(0)
+    val stats = BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
+    if (stats.cappedBuckets > 0)
+      System.err.println(
+        s"[dedup] simhashNearDups bucketCap=$bucketCap truncated " +
+          s"${stats.cappedBuckets} bucket(s); up to ${stats.skippedPairs} " +
+          "candidate pair(s) not examined — near-dup recall inside those " +
+          "buckets is adjacency/representative only")
+    (simhashPairsFromBanded(banded, maxHamming, bucketCap), stats)
+  }
+
+  /** The banded SimHash frame, materialized once, partitioned+sorted on
+    * the join keys: tokenize+SimHash runs a single pass (the self-join's
+    * two pruned subtrees would otherwise each recompute it — and each
+    * re-exchange its side), and every pairing branch plus the census read
+    * the checkpointed frame with no further exchange. Carries the
+    * bucket's size, min id, and the min-id member's signature (`bsim`,
+    * 8 B/row — lets the star branch verify inline without a join back).
+    */
+  private def simhashBanded(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band", "bits")
+    graft.analytics.Materialize.partitioned(
       df.select(col(idCol).as("id"),
           simhash64(normTokens(col(textCol))).as("sim"))
         .select(col("id"), col("sim"),
@@ -342,14 +383,38 @@ object Dedup {
               shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))
                 .as("bits"))
           ): _*)).as("bk"))
-        .select(col("id"), col("sim"), col("bk.band"), col("bk.bits")),
-      col("band"), col("bits"))
-    banded.as("x").join(banded.as("y").hint("merge"),
+        .select(col("id"), col("sim"), col("bk.band"), col("bk.bits"))
+        .repartition(col("band"), col("bits"))
+        .withColumn("bsz", count(lit(1)).over(w))
+        .withColumn("bmin", min("id").over(w))
+        .withColumn("bsim", min_by(col("sim"), col("id")).over(w)))
+  }
+
+  private def simhashPairsFromBanded(banded: DataFrame, maxHamming: Int,
+      bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val small = banded.filter(col("bsz") <= bucketCap)
+    val allPairs = small.as("x").join(small.as("y").hint("merge"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hamming(col("x.sim"), col("y.sim")).as("hamming"))
-      .distinct()
+    val big = banded.filter(col("bsz") > bucketCap)
+    // bmin < id always, so the star pair is already (id_a < id_b)
+    val starPairs = big.filter(col("id") =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col("id").as("id_b"),
+        hamming(col("bsim"), col("sim")).as("hamming"))
+    val wOrd = Window.partitionBy("band", "bits")
+      .orderBy(col("sim"), col("id"))
+    val chainPairs = big
+      .withColumn("prev_id", lag("id", 1).over(wOrd))
+      .withColumn("prev_sim", lag("sim", 1).over(wOrd))
+      .filter(col("prev_id").isNotNull)
+      .select(least(col("prev_id"), col("id")).as("id_a"),
+        greatest(col("prev_id"), col("id")).as("id_b"),
+        hamming(col("prev_sim"), col("sim")).as("hamming"))
+    allPairs.unionByName(starPairs).unionByName(chainPairs)
+      .distinct() // hamming is deterministic per pair — multi-band safe
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -713,23 +778,99 @@ object Dedup {
   // ---- embedding cosine near-dup ------------------------------------------
   /** Near-duplicate embedding pairs: random-hyperplane sign buckets (LSH for
     * cosine), exact cosine verification within buckets.
+    *
+    * `bucketCap` is the same OPT-IN mega-bucket skew guard as
+    * [[minhashNearDups]]/[[simhashNearDups]]: an oversized sign bucket
+    * (one template embedding replicated corpus-wide) is not expanded
+    * all-pairs — members CHAIN in (emb, id) order (lexicographic array
+    * order sorts near-identical vectors adjacent) plus a STAR to the
+    * bucket's min-id member; every edge is exact-cosine-verified, so no
+    * false merge is possible. Pair with [[embeddingNearDupsWithStats]] so
+    * truncation is OBSERVED.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
-      minCosine: Double = 0.95, planes: Int = 12, dim: Int = 64): DataFrame = {
+      minCosine: Double = 0.95, planes: Int = 12, dim: Int = 64,
+      bucketCap: Int = Int.MaxValue): DataFrame =
+    embPairsFromBucketed(
+      embBucketed(df, idCol, embCol, planes, dim), minCosine, bucketCap)
+
+  /** [[embeddingNearDups]] plus the eager truncation census (same
+    * [[BucketStats]] contract and logging as the minhash twin).
+    */
+  def embeddingNearDupsWithStats(df: DataFrame, idCol: String,
+      embCol: String, minCosine: Double = 0.95, planes: Int = 12,
+      dim: Int = 64, bucketCap: Int = Int.MaxValue)
+      : (DataFrame, BucketStats) = {
+    val withB = embBucketed(df, idCol, embCol, planes, dim)
+    val row = censusFromSized(withB, bucketCap).collect()(0)
+    val stats = BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
+    if (stats.cappedBuckets > 0)
+      System.err.println(
+        s"[dedup] embeddingNearDups bucketCap=$bucketCap truncated " +
+          s"${stats.cappedBuckets} bucket(s); up to ${stats.skippedPairs} " +
+          "candidate pair(s) not examined — near-dup recall inside those " +
+          "buckets is adjacency/representative only")
+    (embPairsFromBucketed(withB, minCosine, bucketCap), stats)
+  }
+
+  /** One row per vector with its sign bucket, the bucket's size and min
+    * id — materialized once, partitioned+sorted on the bucket key: the
+    * self-join doesn't bucket every vector twice AND doesn't exchange the
+    * (heavy — full embedding per row) frame once per side, and the census
+    * reads the same frame. `bsim`-style inline star verification is NOT
+    * carried here: a per-row copy of the representative's vector would
+    * double the frame's width, so the star branch joins vectors back
+    * instead (capped-bucket rows only).
+    */
+  private def embBucketed(df: DataFrame, idCol: String, embCol: String,
+      planes: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sign = graft.similarity.Ann.hyperplaneBucket(col(embCol), planes, dim)
-    // materialized once, partitioned+sorted on the bucket key: the
-    // self-join doesn't bucket every vector twice AND doesn't exchange
-    // the (heavy — full embedding per row) frame once per side
-    val withB = graft.analytics.Materialize.partitionedBy(
+    val w = Window.partitionBy("bucket")
+    graft.analytics.Materialize.partitioned(
       df.select(col(idCol).as("id"), col(embCol).as("emb"),
-        sign.as("bucket")),
-      col("bucket"))
-    withB.as("x").join(withB.as("y").hint("merge"),
+          sign.as("bucket"))
+        .repartition(col("bucket"))
+        .withColumn("bsz", count(lit(1)).over(w))
+        .withColumn("bmin", min("id").over(w)))
+  }
+
+  private def embPairsFromBucketed(withB: DataFrame, minCosine: Double,
+      bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val small = withB.filter(col("bsz") <= bucketCap)
+    val allPairs = small.as("x").join(small.as("y").hint("merge"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .withColumn("cosine",
-        graft.similarity.Ann.cosine(col("x.emb"), col("y.emb")))
-      .filter(col("cosine") >= minCosine)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(col("cosine"), 6).as("cosine"))
+        graft.similarity.Ann.cosine(col("x.emb"), col("y.emb"))
+          .as("cosine"))
+    val big = withB.filter(col("bsz") > bucketCap)
+    // star pairs verify via a join back to the vectors (bmin < id, so the
+    // pair is already ordered); `withB` holds ONE row per vector — no
+    // dedup needed on the join side
+    val embs = withB.select(col("id"), col("emb")).hint("merge")
+    val starPairs = big.filter(col("id") =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col("id").as("id_b"))
+      .join(embs.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("emb", "emb_a"), "id_a")
+      .join(embs.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("emb", "emb_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.similarity.Ann.cosine(col("emb_a"), col("emb_b"))
+          .as("cosine"))
+    // chain verifies inline: lag() hands the previous row's vector over
+    val wOrd = Window.partitionBy("bucket").orderBy(col("emb"), col("id"))
+    val chainPairs = big
+      .withColumn("prev_id", lag("id", 1).over(wOrd))
+      .withColumn("prev_emb", lag("emb", 1).over(wOrd))
+      .filter(col("prev_id").isNotNull)
+      .select(least(col("prev_id"), col("id")).as("id_a"),
+        greatest(col("prev_id"), col("id")).as("id_b"),
+        graft.similarity.Ann.cosine(col("prev_emb"), col("emb"))
+          .as("cosine"))
+    allPairs.unionByName(starPairs).unionByName(chainPairs)
+      .distinct() // cosine is deterministic per pair
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 }

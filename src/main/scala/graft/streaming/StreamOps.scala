@@ -108,6 +108,18 @@ object StreamOps {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import graft.dedup.Dedup
+    // lateness in ms, parsed once at build time: the timeout clamp below
+    // needs the ABSOLUTE-timestamp setTimeoutTimestamp overload (the
+    // duration-string overload re-adds lateness to an already-clamped
+    // anchor, overshooting the earliest legal expiry by a full window)
+    val latenessMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
+      require(iv.months == 0,
+        s"lateness '$lateness' must be a fixed duration (no months)")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
     val banded = Dedup.withMinHash(pages, textCol, shingleN)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("id"), col("minhash"),
@@ -168,15 +180,19 @@ object StreamOps {
             // CURRENT one (SPARK-39931 semantics): an out-of-order replay
             // can deliver rows that pass the (lagged) late filter yet sit
             // more than `lateness` below the eviction watermark, and the
-            // natural timeout anchor would then be in the past — Spark
-            // fails the whole query (observed live on a shuffled-file
-            // replay). Clamp the anchor to just past the current
-            // watermark: the bucket expires at the earliest legal instant
-            // instead of killing the stream, and its entries still pair
-            // within their arrival batch — late pairing only ADDS recall.
+            // natural expiry maxTs + lateness would then be in the past —
+            // Spark fails the whole query (observed live on a
+            // shuffled-file replay). Clamp to the earliest LEGAL instant,
+            // watermark + 1: such a bucket expires at the very next
+            // watermark advance instead of killing the stream (and
+            // instead of surviving a whole extra lateness window, which
+            // re-anchoring a duration-based timeout would grant), while
+            // its entries still pair within their arrival batch — late
+            // pairing only ADDS recall.
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(
-                math.max(maxTs, state.getCurrentWatermarkMs() + 1), lateness)
+                math.max(maxTs + latenessMs,
+                  state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

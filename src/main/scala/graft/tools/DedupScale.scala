@@ -37,6 +37,19 @@ object DedupScale {
     }
   }
 
+  /** Σ C(k, 2) over clusters with ≥ 2 members in `m` (columns `cluster`,
+    * one row per member) — the planted-pair denominator shared by the
+    * simhash and embedding recovery oracles. Double arithmetic (Column `/`
+    * divides in double; ANSI would throw on a long overflow).
+    */
+  private def plantedPairs(m: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    m.groupBy("cluster").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2)
+      .agg(coalesce(sum(col("k") * (col("k") - 1) / 2), lit(0.0)))
+      .head().getDouble(0).toLong
+  }
+
   private def renderJson(v: Any): String = v match {
     case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n") + "\""
@@ -216,11 +229,6 @@ object DedupScale {
       // reported, not asserted.
       val meta = slice.filter(col("cluster") >= 0)
         .select(col("doc_id"), col("cluster"), col("n_edits"))
-      def plantedPairs(m: org.apache.spark.sql.DataFrame): Long =
-        m.groupBy("cluster").agg(count(lit(1)).as("k"))
-          .filter(col("k") >= 2)
-          .agg(coalesce(sum(col("k") * (col("k") - 1) / 2), lit(0.0)))
-          .head().getDouble(0).toLong
       val plantedPristine = plantedPairs(meta.filter(col("n_edits") === 0))
       val plantedAll = plantedPairs(meta)
       val tagged = pairs
@@ -263,10 +271,7 @@ object DedupScale {
       val nPairsEmb = pairs.count()
       val meta = slice.filter(col("cluster") >= 0)
         .select(col("doc_id"), col("cluster"))
-      val planted = meta.groupBy("cluster").agg(count(lit(1)).as("k"))
-        .filter(col("k") >= 2)
-        .agg(coalesce(sum(col("k") * (col("k") - 1) / 2), lit(0.0)))
-        .head().getDouble(0).toLong
+      val planted = plantedPairs(meta)
       val recovered = pairs
         .join(meta.select(col("doc_id").as("id_a"),
           col("cluster").as("cl_a")).hint("merge"), Seq("id_a"))
@@ -447,8 +452,12 @@ object DedupScale {
       ToolFs.rmTree(new java.io.File(landing))
       val step = lim / 16
       for (i <- 0L until 16L)
+        // last range takes the division remainder — every slice doc must
+        // land, or the coverage/plateau metrics (computed over the FULL
+        // slice) would silently overstate their denominators at a lim
+        // that is not a multiple of 16
         slice.filter(col("doc_id") >= i * step &&
-            col("doc_id") < (i + 1) * step)
+            (if (i == 15L) lit(true) else col("doc_id") < (i + 1) * step))
           .coalesce(1).write.mode("append").parquet(landing)
       val src = spark.readStream
         .schema("doc_id LONG, text STRING, ts TIMESTAMP")
@@ -463,6 +472,13 @@ object DedupScale {
         .outputMode("append").start()
       q.processAllAvailable()
       q.stop()
+      // DETERMINISM CAVEAT (the one phase where it is soft): under FIFO
+      // eviction, WHICH entries a row pairs against depends on intra-batch
+      // arrival order into the group iterator, which Spark does not
+      // contract across runs — candidate_hits / coverage have been
+      // observed identical across four runs on this host, but unlike
+      // every other phase that is empirical, not structural. The
+      // structural invariants here are the state plateau and the cap.
       val stateRows = q.recentProgress.filter(_.numInputRows > 0)
         .map(p => p.stateOperators.headOption.map(_.numRowsTotal)
           .getOrElse(0L)).toSeq

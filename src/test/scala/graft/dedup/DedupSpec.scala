@@ -194,6 +194,56 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash mega-bucket cap: pairs stay linear, the template cluster " +
+      "stays ONE component, and the census observes the truncation") {
+    // 600 byte-identical docs: every band bucket holds all of them —
+    // uncapped would emit C(600,2) ≈ 180k pairs; capped emits ~2(s−1)
+    val template = "pagina șablon identică pe toate gazdele acestui site " * 6
+    val rows = (1L to 600L).map(i => i -> template) ++ Seq(
+      2001L -> ("conținut complet diferit despre altceva " * 6))
+    val (pairsDf, stats) = Dedup.simhashNearDupsWithStats(
+      docs(rows: _*), "doc_id", "text", maxHamming = 3, bucketCap = 100)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length < 5000, s"pair explosion: ${pairs.length}")
+    assert(pairs.length >= 599, s"cluster under-connected: ${pairs.length}")
+    assert(!pairs.exists(p => p._1 == 2001L || p._2 == 2001L))
+    assert(stats.cappedBuckets >= 4, s"census silent: $stats")
+    assert(stats.skippedPairs > 0)
+    val cl = Dedup.dupClusters(pairsDf.select("id_a", "id_b")).collect()
+    assert(cl.length == 600)
+    assert(cl.forall(_.getLong(1) == 1L), "template cluster split by cap")
+    // uncapped census on the same corpus: silent
+    val (_, uncapped) = Dedup.simhashNearDupsWithStats(
+      docs(rows: _*), "doc_id", "text")
+    assert(uncapped.cappedBuckets == 0L && uncapped.skippedPairs == 0L)
+  }
+
+  test("embedding mega-bucket cap: pairs stay linear, cluster connected, " +
+      "census fires; default cap reproduces the uncapped output") {
+    import spark.implicits._
+    val tpl = Array.tabulate(8)(i => 0.1 * (i + 1))
+    val rows = (1L to 400L).map(i => (i, tpl.toSeq)) ++ Seq(
+      (2001L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0 else -0.7)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (pairsDf, stats) = Dedup.embeddingNearDupsWithStats(df, "vec_id",
+      "embedding", minCosine = 0.999, planes = 6, dim = 8, bucketCap = 50)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length < 3000, s"pair explosion: ${pairs.length}")
+    assert(pairs.length >= 399, s"cluster under-connected: ${pairs.length}")
+    assert(!pairs.exists(p => p._1 == 2001L || p._2 == 2001L))
+    assert(stats.cappedBuckets == 1L, s"census: $stats")
+    val cl = Dedup.dupClusters(pairsDf.select("id_a", "id_b")).collect()
+    assert(cl.length == 400 && cl.forall(_.getLong(1) == 1L))
+    // small corpus, default cap ≡ pre-cap operator output
+    val smallRows = Seq((1L, tpl.toSeq), (2L, tpl.toSeq),
+      (3L, Seq.tabulate(8)(i => if (i == 0) 1.0 else -0.3 * i)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDups(smallRows, "vec_id", "embedding",
+      minCosine = 0.999, planes = 6, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)))
+  }
+
   test("mega-bucket skew: planted 1k-duplicate cluster stays linear, connected") {
     // 1000 identical template pages (one LSH bucket per band holds all of
     // them) + a few unique docs. Uncapped all-pairs would emit C(1000,2) ≈
@@ -614,6 +664,8 @@ class DedupSpec extends AnyFunSuite {
       Dedup.jaccardWithinGroupLsh(grouped, "doc_id", "text", "grp", 0.5))
     noBroadcast("simhashNearDups")(
       Dedup.simhashNearDups(df, "doc_id", "text"))
+    noBroadcast("simhashNearDups capped")(
+      Dedup.simhashNearDups(df, "doc_id", "text", bucketCap = 2))
     noBroadcast("reverifyPairs")(
       Dedup.reverifyPairs(Seq((1L, 2L)).toDF("id_a", "id_b"), df,
         "doc_id", "text", 0.5))
@@ -625,6 +677,12 @@ class DedupSpec extends AnyFunSuite {
         Seq((1L, Seq.fill(8)(0.5)), (2L, Seq.fill(8)(0.5)))
           .toDF("vec_id", "embedding"),
         "vec_id", "embedding", minCosine = 0.9, planes = 4, dim = 8))
+    noBroadcast("embeddingNearDups capped")(
+      Dedup.embeddingNearDups(
+        Seq((1L, Seq.fill(8)(0.5)), (2L, Seq.fill(8)(0.5)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", minCosine = 0.9, planes = 4, dim = 8,
+        bucketCap = 1))
   }
 
   test("minhash pairing runs ONE band-key shuffle: the banded frame is " +
