@@ -252,6 +252,39 @@ object DedupScale {
         "recovered_same_cluster_pairs" -> recSame)
     }
 
+    // ---- SimHash capped path over the mega-including slice ----------------
+    phase("simhash_capped_mega") {
+      // the shape the bounded-cluster phase above cannot exercise: mega
+      // template clusters INCLUDED, bounded by the bucketCap star/chain
+      // guard (r5) — a 16-bit band holding the zipf head cluster is
+      // C(s,2) candidates uncapped, and the checkpoint-rooted self-join
+      // is not AQE-skew-splittable, so the cap is the structural bound
+      val lim = math.min(nDocs, 1000000L)
+      val slice = corpus.filter(col("doc_id") < lim)
+      val sliceN = slice.count()
+      val (p, stats) = Dedup.simhashNearDupsWithStats(slice, "doc_id",
+        "text", maxHamming = 3, bucketCap = 512)
+      val pairs = graft.analytics.Materialize(p)
+      val n = pairs.count()
+      val top1 = topClusters(0)._1
+      val megaIds = corpus.filter(col("cluster") === top1 &&
+        col("doc_id") < lim).select(col("doc_id").as("id"))
+      val megaN = megaIds.count()
+      val inPair = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+      val covered = megaIds.join(inPair.hint("merge"), Seq("id"),
+        "left_semi").count()
+      Seq("slice_docs" -> sliceN, "bucket_cap" -> 512,
+        "pairs" -> n,
+        "n_buckets" -> stats.nBuckets,
+        "capped_buckets" -> stats.cappedBuckets,
+        "skipped_pairs_upper_bound" -> stats.skippedPairs,
+        "mega_docs" -> megaN,
+        "mega_docs_in_a_pair" -> covered,
+        "mega_pair_coverage" -> (if (megaN == 0) 0.0
+          else math.rint(covered.toDouble / megaN * 1e4) / 1e4))
+    }
+
     // ---- embedding near-dup over the bounded-cluster slice ----------------
     phase("embedding_near_dup") {
       // same slice rationale; additionally capped at 400k ids — candidate
@@ -293,6 +326,42 @@ object DedupScale {
           else math.rint(recovered.toDouble / planted * 1e4) / 1e4),
         "n_buckets" -> bRow.getLong(0), "max_bucket" -> bRow.getLong(1),
         "candidate_pairs_budget" -> bRow.getDouble(2).toLong)
+    }
+
+    // ---- embedding capped path over the mega-including slice --------------
+    phase("embedding_capped_mega") {
+      // mega template clusters INCLUDED: their members share near-identical
+      // embeddings (cosine ≳ 0.999), so the whole cluster lands in ONE sign
+      // bucket and the uncapped self-join is C(s,2) candidate rows each
+      // carrying two 64-dim vectors — the bucketCap star/chain guard (r5)
+      // is the structural bound, same as the simhash phase above. 400k-id
+      // budget matches the bounded-slice embedding phase.
+      val lim = math.min(nDocs, 400000L)
+      val slice = corpus.filter(col("doc_id") < lim)
+        .select(col("doc_id"), col("cluster"), col("embedding"))
+      val sliceN = slice.count()
+      val (p, stats) = Dedup.embeddingNearDupsWithStats(slice, "doc_id",
+        "embedding", minCosine = 0.95, planes = 12, dim = 64,
+        bucketCap = 512)
+      val pairs = graft.analytics.Materialize(p)
+      val n = pairs.count()
+      val top1 = topClusters(0)._1
+      val megaIds = slice.filter(col("cluster") === top1)
+        .select(col("doc_id").as("id"))
+      val megaN = megaIds.count()
+      val inPair = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+      val covered = megaIds.join(inPair.hint("merge"), Seq("id"),
+        "left_semi").count()
+      Seq("slice_docs" -> sliceN, "bucket_cap" -> 512,
+        "pairs" -> n,
+        "n_buckets" -> stats.nBuckets,
+        "capped_buckets" -> stats.cappedBuckets,
+        "skipped_pairs_upper_bound" -> stats.skippedPairs,
+        "mega_docs" -> megaN,
+        "mega_docs_in_a_pair" -> covered,
+        "mega_pair_coverage" -> (if (megaN == 0) 0.0
+          else math.rint(covered.toDouble / megaN * 1e4) / 1e4))
     }
 
     // ---- IVF ANN over the full corpus ------------------------------------
