@@ -738,6 +738,21 @@ object Queries {
       minCosine = 0.999).orderBy("id_a", "id_b")
   }
 
+  // --- similarity 3b: banded embedding near-dup (the recall dial — 4 sign
+  //     bands of 12 planes; candidates on ANY band agreement, one exact
+  //     verify join; rows-only, superset-of-single-band spec-pinned) -------
+  register("q_ann_near_dups_banded", null) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .withColumn("embedding",
+        transform(col("embedding"), x => x.cast("double")))
+    val planted = emb.select("vec_id", "embedding").unionByName(
+      emb.filter(col("vec_id") % 9 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .select("vec_id", "embedding"))
+    graft.dedup.Dedup.embeddingNearDups(planted, "vec_id", "embedding",
+      minCosine = 0.999, bands = 4).orderBy("id_a", "id_b")
+  }
+
   // --- text analysis: per-doc quality metrics (C4-ish, oracle-checked) -----
   register("q_text_quality",
     """SELECT doc_id,

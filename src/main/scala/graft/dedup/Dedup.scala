@@ -787,30 +787,145 @@ object Dedup {
     * bucket's min-id member; every edge is exact-cosine-verified, so no
     * false merge is possible. Pair with [[embeddingNearDupsWithStats]] so
     * truncation is OBSERVED.
+    *
+    * `bands` is the recall dial (same amplification as minhash's banding):
+    * `bands` independent sign bands of `planes` hyperplanes each — a pair
+    * is a candidate if ANY band agrees on every plane, so recall at
+    * per-plane agreement r = 1 − θ/π rises from r^planes to
+    * 1 − (1 − r^planes)^bands, at the cost of a ×bands candidate budget
+    * on uniform vectors. Band 0's planes are BY CONSTRUCTION the
+    * single-band planes ([[graft.similarity.Ann.planeVec]] indexes one
+    * global plane sequence, so the (bands·planes)-plane matrix's first
+    * `planes` rows equal the single-band matrix), hence the banded
+    * candidate set is a strict superset of the single-band one and
+    * verification is identical — `bands > 1` can only add true pairs,
+    * never lose one (DedupSpec pins the superset). The banded path
+    * mirrors the minhash pairing shape: one materialized
+    * `(id, bucket, bsz, bmin)` frame carries the operator's single
+    * bucket-key shuffle (embeddings deliberately NOT exploded ×bands —
+    * the verify joins read them back from the one-row-per-vector sigs
+    * frame), and `bucketCap` applies per band with the same star/chain
+    * guard.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
       minCosine: Double = 0.95, planes: Int = 12, dim: Int = 64,
-      bucketCap: Int = Int.MaxValue): DataFrame =
-    embPairsFromBucketed(
-      embBucketed(df, idCol, embCol, planes, dim), minCosine, bucketCap)
+      bucketCap: Int = Int.MaxValue, bands: Int = 1): DataFrame =
+    if (bands == 1)
+      embPairsFromBucketed(
+        embBucketed(df, idCol, embCol, planes, dim), minCosine, bucketCap)
+    else {
+      val sigs = embSigs(df, idCol, embCol, bands, planes, dim)
+      embPairsFromSizedBands(sigs,
+        graft.analytics.Materialize.partitioned(
+          sizedEmbBands(sigs, bands, planes)),
+        minCosine, bucketCap)
+    }
 
   /** [[embeddingNearDups]] plus the eager truncation census (same
     * [[BucketStats]] contract and logging as the minhash twin).
     */
   def embeddingNearDupsWithStats(df: DataFrame, idCol: String,
       embCol: String, minCosine: Double = 0.95, planes: Int = 12,
-      dim: Int = 64, bucketCap: Int = Int.MaxValue)
+      dim: Int = 64, bucketCap: Int = Int.MaxValue, bands: Int = 1)
       : (DataFrame, BucketStats) = {
-    val withB = embBucketed(df, idCol, embCol, planes, dim)
-    val row = censusFromSized(withB, bucketCap).collect()(0)
-    val stats = BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
-    if (stats.cappedBuckets > 0)
-      System.err.println(
-        s"[dedup] embeddingNearDups bucketCap=$bucketCap truncated " +
-          s"${stats.cappedBuckets} bucket(s); up to ${stats.skippedPairs} " +
-          "candidate pair(s) not examined — near-dup recall inside those " +
-          "buckets is adjacency/representative only")
-    (embPairsFromBucketed(withB, minCosine, bucketCap), stats)
+    def warned(stats: BucketStats): BucketStats = {
+      if (stats.cappedBuckets > 0)
+        System.err.println(
+          s"[dedup] embeddingNearDups bucketCap=$bucketCap truncated " +
+            s"${stats.cappedBuckets} bucket(s); up to " +
+            s"${stats.skippedPairs} candidate pair(s) not examined — " +
+            "near-dup recall inside those buckets is " +
+            "adjacency/representative only")
+      stats
+    }
+    def toStats(row: org.apache.spark.sql.Row): BucketStats =
+      BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
+    if (bands == 1) {
+      val withB = embBucketed(df, idCol, embCol, planes, dim)
+      val stats = warned(toStats(censusFromSized(withB, bucketCap)
+        .collect()(0)))
+      (embPairsFromBucketed(withB, minCosine, bucketCap), stats)
+    } else {
+      val sigs = embSigs(df, idCol, embCol, bands, planes, dim)
+      val sized = graft.analytics.Materialize.partitioned(
+        sizedEmbBands(sigs, bands, planes))
+      val stats = warned(toStats(censusFromSized(sized, bucketCap)
+        .collect()(0)))
+      (embPairsFromSizedBands(sigs, sized, minCosine, bucketCap), stats)
+    }
+  }
+
+  /** One MATERIALIZED row per vector with the full (bands·planes)-bit sign
+    * word — the single hyperplane pass shared by the banded explode and
+    * both verify joins (one pass over the embedding matrix total; the
+    * banded frame then carries only ids and bucket keys).
+    */
+  private def embSigs(df: DataFrame, idCol: String, embCol: String,
+      bands: Int, planes: Int, dim: Int): DataFrame = {
+    require(bands * planes <= 63,
+      s"bands*planes = ${bands * planes} sign bits must fit one long")
+    graft.analytics.Materialize(df.select(col(idCol).as("id"),
+      col(embCol).as("emb"),
+      graft.similarity.Ann.hyperplaneBucket(col(embCol), bands * planes, dim)
+        .as("full")))
+  }
+
+  /** One row per (id, band bucket) with the bucket's size and min id — the
+    * banded operator's ONE shuffle on the bucket key ([[sizedBands]] twin).
+    * Band b's key is its `planes` sign bits tagged with the band index in
+    * the bits ABOVE them, so bands never collide.
+    */
+  private def sizedEmbBands(sigs: DataFrame, bands: Int,
+      planes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mask = (1L << planes) - 1L
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        shiftright(col("full"), b * planes).bitwiseAND(lit(mask))
+          .bitwiseOR(lit(b.toLong << planes))): _*)).as("bucket"))
+    val w = Window.partitionBy("bucket")
+    banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min("id").over(w))
+  }
+
+  /** Banded pairing over a MATERIALIZED [[sizedEmbBands]] frame — the
+    * [[pairsFromSized]] shape for embeddings: small-bucket self-join, mega
+    * star, and mega chain (in (emb, id) order, vectors joined back for
+    * capped rows only) produce DISTINCT candidate ids, then ONE exact
+    * cosine verify join prices the work at the deduped candidate count
+    * rather than once per band hit.
+    */
+  private def embPairsFromSizedBands(sigs: DataFrame, sized: DataFrame,
+      minCosine: Double, bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val smallSide = sized.filter(col("bsz") <= bucketCap)
+      .select("id", "bucket")
+    val allPairs = smallSide.as("x").join(smallSide.as("y").hint("merge"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val big = sized.filter(col("bsz") > bucketCap)
+    val starPairs = big.filter(col("id") =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col("id").as("id_b"))
+    val wOrd = Window.partitionBy("bucket").orderBy(col("emb"), col("id"))
+    val chainPairs = big
+      .join(sigs.select(col("id"), col("emb")).hint("merge"), "id")
+      .withColumn("prev", lag("id", 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .select(least(col("prev"), col("id")).as("id_a"),
+        greatest(col("prev"), col("id")).as("id_b"))
+    val pairs = allPairs.unionByName(starPairs).unionByName(chainPairs)
+      .distinct()
+    val embs = sigs.select(col("id"), col("emb")).hint("merge")
+    pairs
+      .join(embs.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("emb", "emb_a"), "id_a")
+      .join(embs.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("emb", "emb_b"), "id_b")
+      .withColumn("cosine",
+        graft.similarity.Ann.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
   /** One row per vector with its sign bucket, the bucket's size and min

@@ -244,6 +244,95 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 1.0)))
   }
 
+  test("banded embedding near-dup: strict candidate superset of the " +
+      "single band (band 0 IS the single-band planes), exact verify, " +
+      "recall strictly improves on moderate-cosine planted pairs") {
+    import spark.implicits._
+    // 40 planted pairs at cosine ~0.92-0.98 (seeded noise): single band
+    // at 8 planes catches ~r^8 of them, 4 bands ~1-(1-r^8)^4 — the seed
+    // pins which, so the strict improvement is deterministic
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      val noisy = base.map(_ + 0.28 * rnd.nextGaussian())
+      Seq((i * 2L, unit(base)), (i * 2L + 1L, unit(noisy)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def run(bands: Int) =
+      Dedup.embeddingNearDups(df, "vec_id", "embedding", minCosine = 0.9,
+        planes = 8, dim = dim, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val single = run(1)
+    val banded = run(4)
+    val sp = single.map(p => (p._1, p._2)).toSet
+    val bp = banded.map(p => (p._1, p._2)).toSet
+    assert(sp.subsetOf(bp),
+      s"banded lost single-band pairs: ${sp.diff(bp)}")
+    assert(bp.size > sp.size,
+      s"banding added no pairs (single ${sp.size}, banded ${bp.size})")
+    // exact verification: every emitted cosine matches a scala recompute
+    // and clears the threshold — banding may only ADD candidates, never
+    // weaken the verify
+    val byId = rows.toMap
+    banded.foreach { case (a, b, c) =>
+      val (va, vb) = (byId(a), byId(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val exact = dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+      assert(c >= 0.9 && math.abs(exact - c) < 1e-5, s"($a,$b): $c vs $exact")
+    }
+    // no pair may cross planted-pair boundaries at this noise level unless
+    // genuinely similar — trust the verify, but pin the planted recall
+    val planted = bp.count { case (a, b) => b == a + 1 && a % 2 == 0 }
+    assert(planted > sp.count { case (a, b) => b == a + 1 && a % 2 == 0 })
+  }
+
+  test("banded embedding mega-bucket cap: identical-vector cluster capped " +
+      "in EVERY band yet stays connected; census counts per-band buckets") {
+    import spark.implicits._
+    val tpl = Array.tabulate(8)(i => 0.1 * (i + 1))
+    val rows = (1L to 400L).map(i => (i, tpl.toSeq)) ++ Seq(
+      (2001L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0 else -0.7)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (pairsDf, stats) = Dedup.embeddingNearDupsWithStats(df, "vec_id",
+      "embedding", minCosine = 0.999, planes = 6, dim = 8, bucketCap = 50,
+      bands = 3)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length < 3000, s"pair explosion: ${pairs.length}")
+    assert(pairs.length >= 399, s"cluster under-connected: ${pairs.length}")
+    assert(!pairs.exists(p => p._1 == 2001L || p._2 == 2001L))
+    // the identical-vector cluster lands in ONE bucket per band
+    assert(stats.cappedBuckets == 3L, s"census: $stats")
+    assert(stats.skippedPairs > 0L)
+    val cl = Dedup.dupClusters(pairsDf.select("id_a", "id_b")).collect()
+    assert(cl.length == 400 && cl.forall(_.getLong(1) == 1L),
+      "cluster split by the per-band cap")
+  }
+
+  test("banded embedding pairing consumes ONE materialized banded frame: " +
+      "no Generate, at most one bucket-key exchange (the chain re-key)") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq.fill(8)(0.5)), (2L, Seq.fill(8)(0.5)),
+      (3L, (1 to 8).map(_.toDouble))).toDF("vec_id", "embedding")
+    for (cap <- Seq(Int.MaxValue, 1)) {
+      val plan = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        minCosine = 0.9, planes = 4, dim = 8, bucketCap = cap, bands = 3)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate "),
+        s"banded pairing re-derives its frame (cap=$cap):\n$plan")
+      val exch =
+        "Exchange hashpartitioning\\([^\\n]*bucket#".r.findAllIn(plan).size
+      assert(exch <= 1,
+        s"$exch bucket-key exchanges in the banded plan (cap=$cap)")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    }
+  }
+
   test("mega-bucket skew: planted 1k-duplicate cluster stays linear, connected") {
     // 1000 identical template pages (one LSH bucket per band holds all of
     // them) + a few unique docs. Uncapped all-pairs would emit C(1000,2) ≈
@@ -683,6 +772,18 @@ class DedupSpec extends AnyFunSuite {
           .toDF("vec_id", "embedding"),
         "vec_id", "embedding", minCosine = 0.9, planes = 4, dim = 8,
         bucketCap = 1))
+    noBroadcast("embeddingNearDups banded")(
+      Dedup.embeddingNearDups(
+        Seq((1L, Seq.fill(8)(0.5)), (2L, Seq.fill(8)(0.5)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", minCosine = 0.9, planes = 4, dim = 8,
+        bands = 3))
+    noBroadcast("embeddingNearDups banded capped")(
+      Dedup.embeddingNearDups(
+        Seq((1L, Seq.fill(8)(0.5)), (2L, Seq.fill(8)(0.5)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", minCosine = 0.9, planes = 4, dim = 8,
+        bucketCap = 1, bands = 3))
   }
 
   test("minhash pairing runs ONE band-key shuffle: the banded frame is " +
