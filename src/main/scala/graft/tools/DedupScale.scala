@@ -318,6 +318,20 @@ object DedupScale {
         .groupBy("b").agg(count(lit(1)).as("sz")))
       val bRow = buckets.agg(count(lit(1)), max("sz"),
         coalesce(sum(col("sz") * (col("sz") - 1) / 2), lit(0.0))).head()
+      // the banded recall dial (r5) on the SAME slice: 4 bands of the
+      // same 12 planes — 1−(1−r^12)^4 predicts ≈0.999 at the cluster
+      // vectors' cos θ from the 0.949 single-band draw; band 0 ≡ the
+      // single-band planes, so banded pairs ⊇ the single-band set
+      val pairsB = graft.analytics.Materialize(Dedup.embeddingNearDups(
+        slice, "doc_id", "embedding", minCosine = 0.95, planes = 12,
+        dim = 64, bands = 4))
+      val nPairsB = pairsB.count()
+      val recoveredB = pairsB
+        .join(meta.select(col("doc_id").as("id_a"),
+          col("cluster").as("cl_a")).hint("merge"), Seq("id_a"))
+        .join(meta.select(col("doc_id").as("id_b"),
+          col("cluster").as("cl_b")).hint("merge"), Seq("id_b"))
+        .filter(col("cl_a") === col("cl_b")).count()
       Seq("slice_docs" -> sliceN, "min_cosine" -> 0.95, "planes" -> 12,
         "pairs" -> nPairsEmb,
         "planted_cluster_pairs" -> planted,
@@ -325,7 +339,11 @@ object DedupScale {
         "single_band_recall" -> (if (planted == 0) 0.0
           else math.rint(recovered.toDouble / planted * 1e4) / 1e4),
         "n_buckets" -> bRow.getLong(0), "max_bucket" -> bRow.getLong(1),
-        "candidate_pairs_budget" -> bRow.getDouble(2).toLong)
+        "candidate_pairs_budget" -> bRow.getDouble(2).toLong,
+        "bands" -> 4, "banded_pairs" -> nPairsB,
+        "banded_recovered_cluster_pairs" -> recoveredB,
+        "banded_recall" -> (if (planted == 0) 0.0
+          else math.rint(recoveredB.toDouble / planted * 1e4) / 1e4))
     }
 
     // ---- embedding capped path over the mega-including slice --------------
