@@ -78,15 +78,45 @@ object Materialize {
     * there — but do not use this variant for joins that rely on skew
     * splitting).
     */
-  def partitioned(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
+  def partitioned(df: DataFrame): DataFrame =
+    withAqeDisabled(df.sparkSession)(apply(df))
+
+  private case class AqeSave(prev: Option[String], depth: Int)
+  private val aqeSaves =
+    new java.util.HashMap[org.apache.spark.sql.SparkSession, AqeSave]()
+
+  /** Runs `body` with AQE disabled on `spark`, restoring the prior flag
+    * afterwards. REENTRANT per session (depth-counted under a lock): with
+    * a naive save/set/restore, two overlapping calls interleave as
+    * A-saves-true, B-saves-false, A-restores-true, B-restores-false — and
+    * AQE stays off for the rest of the session. Here only the FIRST enter
+    * saves and only the LAST exit restores, so concurrent or nested
+    * materializations on one session leave the flag exactly as found
+    * (they still all run without AQE — [[partitioned]]'s documented
+    * caveat (1)). The lock guards only the flag bookkeeping, never the
+    * materialization action itself.
+    */
+  private[analytics] def withAqeDisabled[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
-    val prev = conf.getOption(key)
-    conf.set(key, "false")
-    try apply(df)
-    finally prev match {
-      case Some(v) => conf.set(key, v)
-      case None => conf.unset(key)
+    aqeSaves.synchronized {
+      aqeSaves.get(spark) match {
+        case null =>
+          aqeSaves.put(spark, AqeSave(spark.conf.getOption(key), 1))
+          spark.conf.set(key, "false")
+        case s => aqeSaves.put(spark, s.copy(depth = s.depth + 1))
+      }
+    }
+    try body
+    finally aqeSaves.synchronized {
+      val s = aqeSaves.get(spark)
+      if (s.depth == 1) {
+        aqeSaves.remove(spark)
+        s.prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      } else aqeSaves.put(spark, s.copy(depth = s.depth - 1))
     }
   }
 

@@ -291,24 +291,54 @@ object Queries {
           when(col("doc_id") % 11 === 0, 1)
             .when(col("doc_id") % 13 === 0, -1).otherwise(0),
         lit(0)), lit(5)).as("out"))
+    // ONE corpus scan total: the (ref, out) contingency table (≤ 36 cells
+    // over the 0–5 score domain) carries everything — both marginals
+    // (hence both tie-averaged rank maps) and both correlations as
+    // w-weighted sums. Joining rank maps back to the raw rows and calling
+    // corr() would re-scan the corpus (and each un-materialized rank map
+    // would re-run the groupBy over it); all math below runs on the
+    // materialized tiny frame. The two-pass weighted formula differs from
+    // the streaming corr() built-in by ~1 ulp — ranks reach n, so the
+    // sums reach n³, but the covariance term is the same n³/12 order
+    // (rank variance is n²/12): cancellation costs ~4 bits against a
+    // 1e-6 rounding target.
+    val cells = graft.analytics.Materialize(
+      scored.groupBy("ref", "out").agg(count(lit(1)).as("w")))
     // tie-averaged rank of each distinct value: cnt_below + (cnt+1)/2,
     // from the per-value counts (≤ 6 rows — the unpartitioned running-sum
     // window is over that tiny frame, not the corpus)
     def avgRanks(c: String): DataFrame = {
       val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
-      scored.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      cells.groupBy(col(c)).agg(sum("w").as("cnt"))
         .withColumn(s"${c}_rank",
           coalesce(sum("cnt").over(w), lit(0L)) + (col("cnt") + 1) / 2.0)
         .select(col(c), col(s"${c}_rank"))
     }
-    scored
+    import org.apache.spark.sql.Column
+    val wD = col("w").cast("double")
+    def ws(e: Column): Column = sum(wD * e)
+    val x = col("ref").cast("double")
+    val y = col("out").cast("double")
+    val rx = col("ref_rank")
+    val ry = col("out_rank")
+    def corrOf(sx: Column, sy: Column, sxy: Column, sxx: Column,
+        syy: Column): Column =
+      (sxy - sx * sy / col("n")) /
+        sqrt((sxx - sx * sx / col("n")) * (syy - sy * sy / col("n")))
+    cells
       .join(broadcast(avgRanks("ref")), Seq("ref"))
       .join(broadcast(avgRanks("out")), Seq("out"))
-      .agg(
-        round(corr(col("ref").cast("double"), col("out").cast("double")), 6)
-          .as("pearson"),
-        round(corr(col("ref_rank"), col("out_rank")), 6).as("spearman"),
-        count(lit(1)).as("n_docs"))
+      .agg(sum(wD).as("n"),
+        ws(x).as("sx"), ws(y).as("sy"), ws(x * y).as("sxy"),
+        ws(x * x).as("sxx"), ws(y * y).as("syy"),
+        ws(rx).as("srx"), ws(ry).as("sry"), ws(rx * ry).as("srxy"),
+        ws(rx * rx).as("srxx"), ws(ry * ry).as("sryy"))
+      .select(
+        round(corrOf(col("sx"), col("sy"), col("sxy"), col("sxx"),
+          col("syy")), 6).as("pearson"),
+        round(corrOf(col("srx"), col("sry"), col("srxy"), col("srxx"),
+          col("sryy")), 6).as("spearman"),
+        col("n").cast("long").as("n_docs"))
   }
 
   // --- A10: confusion-matrix counts (comparison.py:136) --------------------

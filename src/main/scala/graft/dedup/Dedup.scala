@@ -99,6 +99,16 @@ object Dedup {
     * default. When a cap is set, pair it with [[minhashBucketCensus]] /
     * [[minhashNearDupsWithStats]] so the truncation is OBSERVED, not assumed
     * absent — a 100-TB operator can't read scaladoc at runtime.
+    *
+    * UNCAPPED-DEFAULT exposure (shared by the simhash and embedding twins):
+    * the pairing self-join roots at the checkpointed pre-partitioned banded
+    * frame, so it has no shuffle stage for AQE's OptimizeSkewedJoin to
+    * split — with the default cap, a mega bucket's C(s,2) expansion runs in
+    * the one task that owns its bucket key (pre-r5, each side re-exchanged
+    * and AQE could at least split the straggler). A corpus that can contain
+    * template mega-clusters should set `bucketCap`; that is the structural
+    * bound, and the C(s,2) OUTPUT volume — not the task placement — is the
+    * real quadratic term either way.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, shingleN: Int = 3,
@@ -268,15 +278,27 @@ object Dedup {
     val sigs = graft.analytics.Materialize(
       buildSigs(df, idCol, textCol, shingleN))
     val sized = graft.analytics.Materialize.partitioned(sizedBands(sigs))
+    val stats = censusStats("minhashNearDups", bucketCap, sized)
+    (pairsFromSized(sigs, sized, minJaccard, bucketCap), stats)
+  }
+
+  /** Runs the truncation census over a sized banded frame, converts the
+    * one-row result to [[BucketStats]], and logs the shared capped-run
+    * warning — the one census-and-warn contract all three
+    * `*NearDupsWithStats` operators share (a wording or field change lands
+    * once, not per operator).
+    */
+  private def censusStats(opName: String, bucketCap: Int,
+      sized: DataFrame): BucketStats = {
     val row = censusFromSized(sized, bucketCap).collect()(0)
     val stats = BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
     if (stats.cappedBuckets > 0)
       System.err.println(
-        s"[dedup] minhashNearDups bucketCap=$bucketCap truncated " +
+        s"[dedup] $opName bucketCap=$bucketCap truncated " +
           s"${stats.cappedBuckets} bucket(s); up to ${stats.skippedPairs} " +
           "candidate pair(s) not examined — near-dup recall inside those " +
           "buckets is adjacency/representative only")
-    (pairsFromSized(sigs, sized, minJaccard, bucketCap), stats)
+    stats
   }
 
   /** Batch EXACT re-verification of a candidate pair frame against the
@@ -351,14 +373,7 @@ object Dedup {
       textCol: String, maxHamming: Int = 3,
       bucketCap: Int = Int.MaxValue): (DataFrame, BucketStats) = {
     val banded = simhashBanded(df, idCol, textCol)
-    val row = censusFromSized(banded, bucketCap).collect()(0)
-    val stats = BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
-    if (stats.cappedBuckets > 0)
-      System.err.println(
-        s"[dedup] simhashNearDups bucketCap=$bucketCap truncated " +
-          s"${stats.cappedBuckets} bucket(s); up to ${stats.skippedPairs} " +
-          "candidate pair(s) not examined — near-dup recall inside those " +
-          "buckets is adjacency/representative only")
+    val stats = censusStats("simhashNearDups", bucketCap, banded)
     (simhashPairsFromBanded(banded, maxHamming, bucketCap), stats)
   }
 
@@ -809,7 +824,8 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
       minCosine: Double = 0.95, planes: Int = 12, dim: Int = 64,
-      bucketCap: Int = Int.MaxValue, bands: Int = 1): DataFrame =
+      bucketCap: Int = Int.MaxValue, bands: Int = 1): DataFrame = {
+    requireDial(bands, planes)
     if (bands == 1)
       embPairsFromBucketed(
         embBucketed(df, idCol, embCol, planes, dim), minCosine, bucketCap)
@@ -820,6 +836,19 @@ object Dedup {
           sizedEmbBands(sigs, bands, planes)),
         minCosine, bucketCap)
     }
+  }
+
+  /** `bands`/`planes` must be ≥ 1: `bands = 0` would route to the banded
+    * path and explode over an EMPTY band array — every row silently
+    * dropped, zero pairs, an all-zero census — and `planes = 0` buckets
+    * the whole corpus into one all-pairs cell. Both are dial typos, not
+    * meaningful requests; fail loudly (the ≤ 63-bit upper bound lives in
+    * [[embSigs]]).
+    */
+  private def requireDial(bands: Int, planes: Int): Unit = {
+    require(bands >= 1, s"bands = $bands must be >= 1")
+    require(planes >= 1, s"planes = $planes must be >= 1")
+  }
 
   /** [[embeddingNearDups]] plus the eager truncation census (same
     * [[BucketStats]] contract and logging as the minhash twin).
@@ -828,29 +857,16 @@ object Dedup {
       embCol: String, minCosine: Double = 0.95, planes: Int = 12,
       dim: Int = 64, bucketCap: Int = Int.MaxValue, bands: Int = 1)
       : (DataFrame, BucketStats) = {
-    def warned(stats: BucketStats): BucketStats = {
-      if (stats.cappedBuckets > 0)
-        System.err.println(
-          s"[dedup] embeddingNearDups bucketCap=$bucketCap truncated " +
-            s"${stats.cappedBuckets} bucket(s); up to " +
-            s"${stats.skippedPairs} candidate pair(s) not examined — " +
-            "near-dup recall inside those buckets is " +
-            "adjacency/representative only")
-      stats
-    }
-    def toStats(row: org.apache.spark.sql.Row): BucketStats =
-      BucketStats(row.getLong(0), row.getLong(1), row.getLong(2))
+    requireDial(bands, planes)
     if (bands == 1) {
       val withB = embBucketed(df, idCol, embCol, planes, dim)
-      val stats = warned(toStats(censusFromSized(withB, bucketCap)
-        .collect()(0)))
+      val stats = censusStats("embeddingNearDups", bucketCap, withB)
       (embPairsFromBucketed(withB, minCosine, bucketCap), stats)
     } else {
       val sigs = embSigs(df, idCol, embCol, bands, planes, dim)
       val sized = graft.analytics.Materialize.partitioned(
         sizedEmbBands(sigs, bands, planes))
-      val stats = warned(toStats(censusFromSized(sized, bucketCap)
-        .collect()(0)))
+      val stats = censusStats("embeddingNearDups", bucketCap, sized)
       (embPairsFromSizedBands(sigs, sized, minCosine, bucketCap), stats)
     }
   }

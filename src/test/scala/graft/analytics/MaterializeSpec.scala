@@ -78,6 +78,42 @@ class MaterializeSpec extends AnyFunSuite {
       "AQE flag leaked false after a failed partitioned materialization")
   }
 
+  test("withAqeDisabled is reentrant: overlapping scopes on one session " +
+      "restore the prior AQE flag (a naive save/restore interleaves to a " +
+      "permanent session-wide AQE-off leak)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    // LIFO nesting: the inner exit must not restore while the outer scope
+    // is open, and the outer exit restores the ORIGINAL value
+    Materialize.withAqeDisabled(spark) {
+      Materialize.withAqeDisabled(spark) {
+        assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
+      }
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "false",
+        "inner exit restored early — outer scope still open")
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "AQE flag not restored after nested withAqeDisabled scopes")
+    // NON-LIFO overlap — the interleave that leaks under a naive
+    // save/set/restore (B saves A's already-set "false" and writes it
+    // back last): B enters and HOLDS, A enters and exits fully, B exits.
+    // Latches make the order deterministic, no scheduler luck involved.
+    val bEntered = new java.util.concurrent.CountDownLatch(1)
+    val aDone = new java.util.concurrent.CountDownLatch(1)
+    val tB = new Thread(() => Materialize.withAqeDisabled(spark) {
+      bEntered.countDown()
+      aDone.await()
+    })
+    tB.start()
+    bEntered.await()
+    Materialize.withAqeDisabled(spark) {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "false")
+    }
+    aDone.countDown()
+    tB.join()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "AQE flag leaked false after non-LIFO overlapping scopes")
+  }
+
   test("SparkContext still generates the checkpointDir_$eq setter " +
       "withCheckpointDir restores through (Spark-upgrade guard: a rename " +
       "must fail CI here, not a 20-minute scale run at its restore point)") {

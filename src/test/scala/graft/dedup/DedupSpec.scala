@@ -292,6 +292,25 @@ class DedupSpec extends AnyFunSuite {
     assert(planted > sp.count { case (a, b) => b == a + 1 && a % 2 == 0 })
   }
 
+  test("embedding near-dup rejects bands/planes < 1 loudly (bands = 0 " +
+      "would explode an empty band array — every row silently dropped, " +
+      "zero pairs, an all-zero census)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    for (bad <- Seq(0, -1)) {
+      intercept[IllegalArgumentException](
+        Dedup.embeddingNearDups(df, "vec_id", "embedding", dim = 2,
+          bands = bad))
+      intercept[IllegalArgumentException](
+        Dedup.embeddingNearDups(df, "vec_id", "embedding", dim = 2,
+          planes = bad))
+      intercept[IllegalArgumentException](
+        Dedup.embeddingNearDupsWithStats(df, "vec_id", "embedding", dim = 2,
+          bands = bad))
+    }
+  }
+
   test("banded embedding mega-bucket cap: identical-vector cluster capped " +
       "in EVERY band yet stays connected; census counts per-band buckets") {
     import spark.implicits._
