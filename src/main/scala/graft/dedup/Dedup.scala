@@ -12,7 +12,8 @@ import graft.synth.Det
   *  - exact: hash-groupBy (one shuffle on the digest)
   *  - MinHash+LSH: shingle → k minhashes → b bands → bucket self-join →
   *    exact-Jaccard verification of candidates only
-  *  - SimHash: 64-bit fingerprint → 16-bit band buckets → Hamming ≤ t
+  *  - SimHash: 64-bit fingerprint → (t+1) pigeonhole band buckets →
+  *    Hamming ≤ t
   *  - embedding near-dup: random-hyperplane signs → bucket join → exact
   *    cosine on candidates (see graft.similarity.Ann for top-k search)
   *
@@ -344,9 +345,20 @@ object Dedup {
   }
 
   // ---- SimHash ----------------------------------------------------------
-  /** SimHash near-dup pairs: 4 × 16-bit band buckets (any doc pair within
-    * Hamming distance ≤ 3 of 64 bits shares at least one exact band), then
-    * exact Hamming verification via bit_count.
+  /** SimHash near-dup pairs: `maxHamming + 1` near-even-width band buckets
+    * over the 64 signature bits (pigeonhole — a pair within Hamming
+    * distance ≤ maxHamming differs in at most maxHamming bits, so at least
+    * one of the maxHamming + 1 bands is bit-identical and the pair shares
+    * a bucket), then exact Hamming verification via bit_count. At the
+    * default maxHamming = 3 this is the classic 4 × 16-bit split; the band
+    * count FOLLOWS the threshold so a caller asking for Hamming ≤ 5 gets
+    * the full candidate guarantee instead of the silent recall loss a
+    * fixed 4-band scheme gives every threshold above 3 (a hamming-4 pair
+    * whose flipped bits land in four different 16-bit quarters collides in
+    * NO fixed band). The honest trade is candidate volume: more bands
+    * means narrower bands, coarser buckets, and a recall=1 candidate set
+    * that grows with the threshold — the inherent Hamming-LSH dial, now
+    * priced by the caller's own `maxHamming` instead of silently wrong.
     *
     * `bucketCap` is the same OPT-IN mega-bucket skew guard as
     * [[minhashNearDups]]: a band bucket larger than the cap is not
@@ -363,8 +375,9 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bucketCap: Int = Int.MaxValue): DataFrame =
-    simhashPairsFromBanded(simhashBanded(df, idCol, textCol), maxHamming,
-      bucketCap)
+    simhashPairsFromBanded(
+      simhashBanded(df, idCol, textCol, simhashBandCount(maxHamming)),
+      maxHamming, bucketCap)
 
   /** [[simhashNearDups]] plus the eager truncation census (same
     * [[BucketStats]] contract and logging as the minhash twin).
@@ -372,9 +385,22 @@ object Dedup {
   def simhashNearDupsWithStats(df: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3,
       bucketCap: Int = Int.MaxValue): (DataFrame, BucketStats) = {
-    val banded = simhashBanded(df, idCol, textCol)
+    val banded = simhashBanded(df, idCol, textCol,
+      simhashBandCount(maxHamming))
     val stats = censusStats("simhashNearDups", bucketCap, banded)
     (simhashPairsFromBanded(banded, maxHamming, bucketCap), stats)
+  }
+
+  /** Pigeonhole band count for a Hamming threshold. 63 is the honest
+    * ceiling: maxHamming = 64 would mean "any pair of 64-bit words", for
+    * which banding cannot help (and 64 one-bit bands already admit every
+    * pair differing in ≤ 63 bits) — a threshold that high is a dial typo,
+    * not a similarity request.
+    */
+  private def simhashBandCount(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming = $maxHamming must be in [0, 63]")
+    maxHamming + 1
   }
 
   /** The banded SimHash frame, materialized once, partitioned+sorted on
@@ -386,17 +412,31 @@ object Dedup {
     * 8 B/row — lets the star branch verify inline without a join back).
     */
   private def simhashBanded(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, nBands: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // 64 bits split into nBands contiguous bands, widths as even as
+    // possible (the wider-by-one bands first): offsets(b) .. offsets(b+1).
+    // For the default 4 bands this is exactly the historic 16/16/16/16
+    // split — same bucket keys, byte-identical output.
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val offsets = (0 until nBands).scanLeft(0)((o, b) =>
+      o + base + (if (b < rem) 1 else 0))
+    def bandBits(b: Int): Column = {
+      val width = offsets(b + 1) - offsets(b)
+      // (1L << 64) wraps to 1 (JVM shifts are mod 64): the one full-width
+      // band (maxHamming = 0 ⇒ exact-signature buckets) takes sim whole
+      if (width == 64) col("sim")
+      else shiftright(col("sim"), offsets(b))
+        .bitwiseAND(lit((1L << width) - 1))
+    }
     val w = Window.partitionBy("band", "bits")
     graft.analytics.Materialize.partitioned(
       df.select(col(idCol).as("id"),
           simhash64(normTokens(col(textCol))).as("sim"))
         .select(col("id"), col("sim"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))
-                .as("bits"))
+          explode(array((0 until nBands).map(b =>
+            struct(lit(b).as("band"), bandBits(b).as("bits"))
           ): _*)).as("bk"))
         .select(col("id"), col("sim"), col("bk.band"), col("bk.bits"))
         .repartition(col("band"), col("bits"))

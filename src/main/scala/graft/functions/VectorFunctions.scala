@@ -128,6 +128,14 @@ case class CosineSimExpr(left: Expression, right: Expression)
   */
 case class HyperplaneBucketExpr(child: Expression, planes: Int, dim: Int)
   extends UnaryExpression {
+  // sign bits pack into one long and `1L << p` is a mod-64 shift: plane 64
+  // would silently alias plane 0's bit, folding unrelated half-spaces into
+  // one bucket — a dial typo every caller should hear about at build time
+  // (the operators layer tighter bounds on top: lshTopK's probe fan-out
+  // ≤ 24, banded near-dup's bands·planes ≤ 63 tag space)
+  require(planes >= 1 && planes <= 64,
+    s"planes = $planes must be in [1, 64] — sign bits pack into one long")
+  require(dim >= 1, s"dim = $dim must be >= 1")
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

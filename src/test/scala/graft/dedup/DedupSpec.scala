@@ -194,6 +194,55 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash banding follows maxHamming (pigeonhole): pairs ≡ brute " +
+      "force at hamming ≤ 4, incl. a pair the fixed 4×16 split would lose") {
+    import spark.implicits._
+    // seeded near-dup pool: one base text and single-token substitutions
+    // at every position × several replacement tokens — deterministic
+    // signatures, pairwise hammings spanning the near-dup range
+    val baseWords = (1 to 40).map(i => s"cuvânt$i")
+    val rows: Seq[(Long, String)] =
+      Seq(0L -> baseWords.mkString(" "), 1L -> baseWords.mkString(" ")) ++
+        (for (p <- 0 until 40; k <- 0 until 7) yield {
+          val id = 2L + p * 7 + k
+          id -> baseWords.updated(p, s"alt${k}x$p").mkString(" ")
+        })
+    val df = rows.toDF("doc_id", "text")
+    // driver-side signatures for the brute-force oracle (same expression)
+    val sigs = df.select(col("doc_id"), TextFunctions.simhash64(
+        TextFunctions.normTokens(col("text"))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    def ham(a: Long, b: Long): Int =
+      TextFunctions.hammingDistance(sigs(a), sigs(b))
+    val want = (for (a <- ids; b <- ids if a < b && ham(a, b) <= 4)
+      yield (a, b)).toSet
+    val got = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} spurious=${(got -- want).take(5)}")
+    // the motivating case: a wanted pair whose differing bits span all
+    // four 16-bit quarters — under the old fixed 4-band scheme it shares
+    // NO band, so it could only have been found by luck (star/chain)
+    val crossQuarter = want.filter { case (a, b) =>
+      val x = sigs(a) ^ sigs(b)
+      (0 until 4).count(q => ((x >>> (q * 16)) & 0xffffL) != 0L) == 4
+    }
+    assert(crossQuarter.nonEmpty,
+      "fixture regression: no cross-quarter hamming≤4 pair — reseed edits")
+    // maxHamming = 0 is exact-signature bucketing (one full-width band):
+    // the planted byte-identical pair and any hash-identical variants
+    val exact = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantExact = (for (a <- ids; b <- ids if a < b && ham(a, b) == 0)
+      yield (a, b)).toSet
+    assert(exact == wantExact && exact.contains((0L, 1L)))
+    // a threshold no banding can serve fails loudly at call time
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 64)
+    }
+  }
+
   test("simhash mega-bucket cap: pairs stay linear, the template cluster " +
       "stays ONE component, and the census observes the truncation") {
     // 600 byte-identical docs: every band bucket holds all of them —

@@ -169,6 +169,22 @@ class AnnSpec extends AnyFunSuite {
       || e2.getMessage.toLowerCase.contains("array<double>"))
   }
 
+  test("plane count past the 64-bit sign word fails loudly at build time " +
+      "(1L << 64 wraps — plane 64 would silently alias plane 0's bit)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, -2.0, 0.5))).toDF("id", "emb")
+    val e = intercept[IllegalArgumentException] {
+      df.select(Ann.hyperplaneBucket(col("emb"), 65, 3))
+    }
+    assert(e.getMessage.contains("[1, 64]"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      df.select(Ann.hyperplaneBucket(col("emb"), 0, 3))
+    }
+    // 64 is the full word and legal: bit 63 is the sign bit, no wrap
+    df.select(Ann.hyperplaneBucket(typedLit(Seq.fill(64)(1.0)), 64, 64))
+      .head().getLong(0): Unit
+  }
+
   test("IVF drops NULL embeddings instead of failing the job (parity with " +
       "the null-propagating LSH/brute paths)") {
     import spark.implicits._
