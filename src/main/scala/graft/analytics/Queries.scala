@@ -714,6 +714,57 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // --- dedup 6: benchmark decontamination (GPT-3 appendix C n-gram rule) ---
+  // eval set = every 97th doc, corpus = the rest; a corpus doc is
+  // contaminated when it shares word n-grams with ANY eval doc. n = 3 here
+  // because the synthetic docs are ~50 words (the production default is the
+  // GPT-3 13); gram identity is the shared 64-bit shingle hash on the Spark
+  // side vs gram STRINGS in DuckDB — equal strings hash equal, so the
+  // distinct-overlap counts agree (collisions are a ~k²/2⁶⁴ event).
+  private val decontamGramCtes =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |dg AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, array_to_string(ws[u : u + 2], ' ') AS g
+      |    FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS u
+      |          FROM toks WHERE len(ws) >= 3))),
+      |bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT doc_id, g FROM dg WHERE doc_id % 97 <> 0),
+      |hits AS (SELECT c.doc_id, count(*) AS n_hit_grams
+      |         FROM corpus c JOIN bench b USING (g) GROUP BY c.doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus
+      |        GROUP BY doc_id)""".stripMargin
+
+  register("q_decontam_hits",
+    s"""$decontamGramCtes
+       |SELECT h.doc_id AS id, t.n_grams, h.n_hit_grams,
+       |       round(h.n_hit_grams * 1.0 / t.n_grams, 6) AS hit_frac
+       |FROM hits h JOIN tot t USING (doc_id)
+       |ORDER BY id""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    graft.dedup.Decontaminate.gramHits(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 3)
+      .withColumn("n_grams", col("n_grams").cast("long"))
+      .orderBy("id")
+  }
+
+  register("q_decontam_survivors",
+    s"""$decontamGramCtes
+       |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       |WHERE d.doc_id % 97 <> 0
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hit_grams >= 2)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    graft.dedup.Decontaminate.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        n = 3, minHits = 2)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // --- similarity 1: brute-force cosine top-k (exact baseline) -------------
   register("q_ann_cosine_topk",
     """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -205,6 +205,47 @@ object DedupScale {
           "path owns that mass"))
     }
 
+    // ---- benchmark decontamination over the full corpus ------------------
+    phase("decontaminate") {
+      // eval set = every 1009th doc (~0.1% — the realistic benchmark:corpus
+      // asymmetry: the eval grams are a broadcast dim, the corpus 13-gram
+      // explode feeds a map-side join and NEVER shuffles). Planted oracle:
+      // a PRISTINE corpus member of a cluster with a pristine eval member
+      // is an exact copy of the eval text — every one of its 13-grams hits,
+      // so recall over that slice must be exactly 1.0.
+      val bench = corpus.filter(col("doc_id") % 1009 === 0)
+      val docs = corpus.filter(col("doc_id") % 1009 =!= 0)
+      val hits = graft.analytics.Materialize(
+        graft.dedup.Decontaminate.gramHits(docs, bench, "doc_id", "text",
+          n = 13))
+      val nHits = hits.count()
+      val benchN = bench.count()
+      val corpusN = docs.count()
+      val benchGrams =
+        graft.dedup.Decontaminate.benchGrams(bench, "text", 13).count()
+      val evalPristineClusters = bench
+        .filter(col("cluster") >= 0 && col("n_edits") === 0)
+        .select("cluster").distinct()
+      val expected = docs.filter(col("n_edits") === 0)
+        .join(broadcast(evalPristineClusters), Seq("cluster"))
+        .select(col("doc_id").as("id"))
+      val expN = expected.count()
+      val flaggedN = expected.join(hits, Seq("id"), "left_semi").count()
+      // the real anti-join removal path at volume, then the ledger check:
+      // survivors + contaminated must tile the corpus exactly
+      val survivors = graft.dedup.Decontaminate.decontaminate(
+        docs, bench, "doc_id", "text", n = 13, minHits = 1).count()
+      Seq("bench_docs" -> benchN, "bench_distinct_13grams" -> benchGrams,
+        "corpus_docs" -> corpusN,
+        "contaminated_docs" -> nHits,
+        "survivors" -> survivors,
+        "survivors_tile_corpus" -> (survivors + nHits == corpusN),
+        "pristine_sibling_expected" -> expN,
+        "pristine_sibling_flagged" -> flaggedN,
+        "pristine_sibling_recall" ->
+          math.rint(flaggedN.toDouble / math.max(expN, 1L) * 1e4) / 1e4)
+    }
+
     // ---- SimHash near-dup over the bounded-cluster slice -----------------
     phase("simhash_near_dup") {
       // simhashNearDups has no bucketCap: a mega template cluster sharing

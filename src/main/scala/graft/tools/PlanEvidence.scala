@@ -175,6 +175,20 @@ object PlanEvidence {
           .select("url", "keep")
       })
 
+    // new sections append at the END: sections share one SparkSession, so
+    // an insertion mid-file would shift every later section's expression
+    // ids and break the byte-stable-regen discipline
+    section("Benchmark decontamination — eval-dim broadcast, corpus never " +
+      "shuffled on grams (q_decontam_survivors)",
+      "`Decontaminate.decontaminate`: the eval set's distinct gram frame is " +
+      "the ONLY `BroadcastExchange` — the corpus gram explode feeds a " +
+      "map-side `BroadcastHashJoin` (corpus grams never shuffle), only HIT " +
+      "rows reach the per-doc aggregate (partial combine ⇒ the exchange " +
+      "moves ≤ one row per contaminated doc), and the flagged-id anti join " +
+      "is a merge-hinted `SortMergeJoin LeftAnti` (hit-sized but unbounded " +
+      "worst case — never broadcast).")(
+      graft.analytics.Queries.all("q_decontam_survivors")(spark, sf))
+
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md (" + sb.length + " chars)")
     spark.stop()
