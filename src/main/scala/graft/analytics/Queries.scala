@@ -1253,6 +1253,98 @@ object Queries {
     }.toSeq: _*).orderBy("doc_id")
   }
 
+  // --- repetition signals (Gopher A1.1): shared oracle scaffolding --------
+  // Tokenization is \s+ split with empties dropped on BOTH engines; char
+  // counts are code points (DuckDB len()); gram char length = len(gram) -
+  // (n-1) because grams are chr(0)-joined (one separator char per boundary).
+  private def repToks =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'),
+      |                     w -> len(w) > 0) AS ws
+      |  FROM documents),
+      |tot AS (
+      |  SELECT doc_id, coalesce(sum(len(w)), 0) AS tot
+      |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY doc_id)""".stripMargin
+
+  // --- repetition 1: top-2-gram char fraction (Gopher n ∈ 2..4 family) ----
+  register("q_rep_topgram",
+    s"""$repToks,
+       |g AS (
+       |  SELECT doc_id, u, array_to_string(ws[u : u + 1], chr(0)) AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS u
+       |        FROM toks WHERE len(ws) >= 2)),
+       |cnt AS (
+       |  SELECT doc_id, gram, len(gram) - 1 AS gl, count(*) AS cnt, min(u) AS fu
+       |  FROM g GROUP BY doc_id, gram),
+       |top AS (
+       |  SELECT doc_id, cnt * gl AS cov,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY cnt DESC, gl DESC, fu ASC) AS rn
+       |  FROM cnt)
+       |SELECT t.doc_id,
+       |       CASE WHEN t.tot = 0 THEN 0.0
+       |            ELSE round(coalesce(p.cov, 0) * 1.0 / t.tot, 6) END AS top2_frac
+       |FROM tot t LEFT JOIN (SELECT doc_id, cov FROM top WHERE rn = 1) p
+       |  USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(graft.functions.Repetition.top_ngram_char_frac(words, 2), 6)
+          .as("top2_frac"))
+      .orderBy("doc_id")
+  }
+
+  // --- repetition 2: duplicate-3-gram coverage fraction (Gopher n ∈ 5..10
+  //     family; n = 3 here because the synthetic docs are ~50 words).
+  //     Overlap-careful: each word's chars count once however many
+  //     duplicated grams cover it. -----------------------------------------
+  register("q_rep_dupgram",
+    s"""$repToks,
+       |g AS (
+       |  SELECT doc_id, u, array_to_string(ws[u : u + 2], chr(0)) AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS u
+       |        FROM toks WHERE len(ws) >= 3)),
+       |dup AS (
+       |  SELECT doc_id, gram FROM g GROUP BY doc_id, gram HAVING count(*) > 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, p FROM (
+       |    SELECT g.doc_id, g.u + unnest(generate_series(0, 2)) AS p
+       |    FROM g JOIN dup USING (doc_id, gram))),
+       |covchars AS (
+       |  SELECT c.doc_id, sum(len(tk.ws[c.p])) AS cc
+       |  FROM cov c JOIN toks tk USING (doc_id) GROUP BY c.doc_id)
+       |SELECT t.doc_id,
+       |       CASE WHEN t.tot = 0 THEN 0.0
+       |            ELSE round(coalesce(c.cc, 0) * 1.0 / t.tot, 6) END AS dup3_frac
+       |FROM tot t LEFT JOIN covchars c USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(graft.functions.Repetition.dup_ngram_char_frac(words, 3), 6)
+          .as("dup3_frac"))
+      .orderBy("doc_id")
+  }
+
+  // --- deterministic stratified sampling (data mixing): hash-gated per-
+  //     source rates, zero shuffle, zero RNG — same rows selected on every
+  //     run/retry/backfill. Thresholds come from ONE Scala computation
+  //     inlined into both engines (Sampling.thresholdHex). ----------------
+  private val sampleRates =
+    Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0)
+
+  register("q_sample_stratified",
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${Sampling.whereSql("source", Seq("doc_id"), sampleRates, 0.1, "graft-r5")}
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.stratifiedSample(t(s, dir, "documents"),
+        "source", Seq("doc_id"), sampleRates, 0.1, "graft-r5")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = qs.toMap
   def oracle: Map[String, String] = osql.toMap
 }

@@ -189,6 +189,24 @@ object PlanEvidence {
       "worst case — never broadcast).")(
       graft.analytics.Queries.all("q_decontam_survivors")(spark, sf))
 
+    section("Deterministic stratified sampling — pure filter, zero " +
+      "Exchange (q_sample_stratified)",
+      "`Sampling.stratifiedSample`: the md5 hash gate and the per-stratum " +
+      "CASE threshold evaluate inside one WholeStageCodegen scan+filter — " +
+      "no Exchange, no RNG; at 10^12 docs the sample costs exactly one " +
+      "pruned pass over the corpus and is retry/backfill-stable " +
+      "(SamplingSpec pins the no-Exchange shape).")(
+      graft.analytics.Queries.all("q_sample_stratified")(spark, sf))
+
+    section("Gopher repetition signals — per-row native Expression, no " +
+      "explode/groupBy (q_rep_dupgram)",
+      "`Repetition.dup_ngram_char_frac`: the whole metric is one generated " +
+      "function call per row inside the scan's WholeStageCodegen — the " +
+      "naive shape (explode grams → groupBy(doc_id, gram) → join back) " +
+      "would shuffle every gram of every document twice; this plan " +
+      "shuffles nothing before the final presentation sort.")(
+      graft.analytics.Queries.all("q_rep_dupgram")(spark, sf))
+
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md (" + sb.length + " chars)")
     spark.stop()
