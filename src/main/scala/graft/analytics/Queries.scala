@@ -1345,6 +1345,59 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // --- Gopher line-shape heuristics over a DERIVED multi-line text --------
+  // The synthetic documents carry no newlines, so the oracle would be
+  // trivially 0; both engines first apply the SAME literal replace chain
+  // (introducing bullet lines, ellipsis line-ends and numeric words) and
+  // then compute the metrics — parity is on the metric algebra, honestly.
+  register("q_line_quality",
+    """WITH lt AS (
+      |  SELECT doc_id, replace(replace(replace(text,
+      |           ' table ', chr(10) || '- table '),
+      |           ' fast ', '...' || chr(10) || ' fast '),
+      |           ' key ', ' 42 ') AS lt
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, list_filter(string_split(lt, chr(10)),
+      |                             l -> len(trim(l)) > 0) AS ls
+      |  FROM lt),
+      |lstats AS (
+      |  SELECT doc_id, len(ls) AS n_lines,
+      |         len(list_filter(ls, l -> substr(ltrim(l), 1, 1)
+      |                                  IN ('•', '‣', '▪', '-', '*'))) AS n_bullet,
+      |         len(list_filter(ls, l -> rtrim(l) LIKE '%...'
+      |                                  OR rtrim(l) LIKE '%…')) AS n_ellipsis
+      |  FROM lines),
+      |wstats AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |         len(list_filter(ws, w -> regexp_matches(w, '\p{L}'))) AS n_alpha
+      |  FROM (SELECT doc_id,
+      |               list_filter(regexp_split_to_array(lt, '\s+'),
+      |                           w -> len(w) > 0) AS ws FROM lt))
+      |SELECT l.doc_id,
+      |       CASE WHEN n_lines = 0 THEN 0.0
+      |            ELSE round(n_bullet * 1.0 / n_lines, 6) END AS bullet_line_frac,
+      |       CASE WHEN n_lines = 0 THEN 0.0
+      |            ELSE round(n_ellipsis * 1.0 / n_lines, 6) END AS ellipsis_line_frac,
+      |       CASE WHEN n_words = 0 THEN 0.0
+      |            ELSE round(n_alpha * 1.0 / n_words, 6) END AS alpha_word_frac
+      |FROM lstats l JOIN wstats USING (doc_id)
+      |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+    import graft.stages.Heuristics
+    val lt = replace(replace(replace(col("text"),
+      lit(" table "), lit("\n- table ")),
+      lit(" fast "), lit("...\n fast ")),
+      lit(" key "), lit(" 42 "))
+    t(s, dir, "documents")
+      .withColumn("lt", lt)
+      .select(col("doc_id"),
+        round(Heuristics.bulletLineFrac(col("lt")), 6).as("bullet_line_frac"),
+        round(Heuristics.ellipsisLineFrac(col("lt")), 6).as("ellipsis_line_frac"),
+        round(Heuristics.alphaWordFrac(Heuristics.wordsCol(col("lt"))), 6)
+          .as("alpha_word_frac"))
+      .orderBy("doc_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = qs.toMap
   def oracle: Map[String, String] = osql.toMap
 }

@@ -57,6 +57,44 @@ object Heuristics {
       (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
   }
 
+  /** Non-blank lines of a text column (Spark `trim` strips spaces only —
+    * mirrored by DuckDB's default `trim`).
+    */
+  private def nonBlankLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-blank lines whose first non-space character is a
+    * bullet marker (Gopher's "lines starting with a bullet point" rule;
+    * marker set: •, ‣, ▪, -, *).
+    */
+  def bulletLineFrac(text: Column): Column = {
+    val lines = nonBlankLines(text)
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      size(filter(lines, l =>
+        substring(ltrim(l), 1, 1).isin("•", "‣", "▪", "-", "*")))
+        .cast("double") / size(lines))
+  }
+
+  /** Fraction of non-blank lines ending in an ellipsis ("..." or "…") —
+    * Gopher's truncated-line signal for scraped link farms / teasers.
+    */
+  def ellipsisLineFrac(text: Column): Column = {
+    val lines = nonBlankLines(text)
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => {
+        val r = rtrim(l)
+        r.endsWith("...") || r.endsWith("…")
+      })).cast("double") / size(lines))
+  }
+
+  /** Fraction of words containing at least one letter (Gopher requires
+    * ≥ 0.8 — filters tables of numbers, markup soup, hash dumps).
+    */
+  def alphaWordFrac(words: Column): Column =
+    when(size(words) === 0, lit(0.0)).otherwise(
+      size(filter(words, w => w.rlike("\\p{L}")))
+        .cast("double") / size(words))
+
   /** Appends the five heuristic columns to a DataFrame with a `text` column.
     * One pass over `text`; all expressions codegen.
     */
@@ -69,6 +107,20 @@ object Heuristics {
       "symbol_word_ratio" -> symbolWordRatio(t, w),
       "stopword_frac" -> stopwordFrac(w),
       "dup_line_frac" -> dupLineFrac(t)
+    ))
+  }
+
+  /** Appends the Gopher line-shape / lexical columns (beyond the five the
+    * reference's gates consume): bullet-line, ellipsis-line and alpha-word
+    * fractions. Separate from [[withHeuristics]] so the pipeline's pinned
+    * decision schema is untouched.
+    */
+  def withLineShape(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumns(Map(
+      "bullet_line_frac" -> bulletLineFrac(t),
+      "ellipsis_line_frac" -> ellipsisLineFrac(t),
+      "alpha_word_frac" -> alphaWordFrac(wordsCol(t))
     ))
   }
 }

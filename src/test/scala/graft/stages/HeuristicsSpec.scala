@@ -50,4 +50,36 @@ class HeuristicsSpec extends AnyFunSuite {
     val (_, _, _, _, dup) = metrics("a\nb\nc")
     assert(dup == 0.0)
   }
+
+  private def lineShape(text: String): (Double, Double, Double) = {
+    import spark.implicits._
+    val r = Heuristics.withLineShape(Seq(text).toDF("text"))
+      .select("bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac")
+      .head()
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+  }
+
+  test("bullet_line_frac: first non-space char against the marker set") {
+    // 4 non-blank lines: "- a" and "  • b" are bullets, "c-d" is not
+    val (b, _, _) = lineShape("- a\n  • b\nc-d\nplain\n\n")
+    assert(math.abs(b - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("ellipsis_line_frac: trailing-space-tolerant ... and … endings") {
+    val (_, e, _) = lineShape("citește mai mult...\nfull stop.\nteaser…  \n")
+    assert(math.abs(e - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("alpha_word_frac: words with no letter drag the fraction") {
+    // words: [pagina] [42] [din] [100] → 2/4
+    val (_, _, a) = lineShape("pagina 42 din 100")
+    assert(math.abs(a - 0.5) < 1e-12)
+    // diacritics count as letters
+    val (_, _, a2) = lineShape("știință 123")
+    assert(math.abs(a2 - 0.5) < 1e-12)
+  }
+
+  test("line-shape metrics on empty text are zeros") {
+    assert(lineShape("") == ((0.0, 0.0, 0.0)))
+  }
 }
