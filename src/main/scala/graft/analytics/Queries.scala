@@ -1345,6 +1345,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // --- per-stratum token-budget selection (data mixing): fill each
+  //     source's char budget with its largest docs; ONE exchange on the
+  //     stratum key, per-stratum sort, deterministic cut. ------------------
+  register("q_budget_select",
+    """SELECT doc_id, source, n_chars FROM documents
+      |QUALIFY sum(n_chars) OVER (PARTITION BY source
+      |          ORDER BY n_chars DESC, doc_id
+      |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        <= CASE source WHEN 'src0' THEN 1200 WHEN 'src1' THEN 0
+      |                       ELSE 2500 END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Sampling.budgetSelect(t(s, dir, "documents"),
+        "source", "n_chars",
+        budgets = Map("src0" -> 1200L, "src1" -> 0L),
+        defaultBudget = 2500L,
+        orderCols = Seq(col("n_chars").desc, col("doc_id")))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // --- Gopher line-shape heuristics over a DERIVED multi-line text --------
   // The synthetic documents carry no newlines, so the oracle would be
   // trivially 0; both engines first apply the SAME literal replace chain

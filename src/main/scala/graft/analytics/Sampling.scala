@@ -79,6 +79,45 @@ object Sampling {
     df.filter(coordinate(strata, keyCols.map(col), salt) < threshold)
   }
 
+  /** Per-stratum token-budget selection — the "fill each source's token
+    * budget with its best documents" step of data mixing: within each
+    * stratum, rows are taken in `orderCols` order (make it total — include
+    * a unique key — or the cut is nondeterministic) until the running sum
+    * of `tokensCol` exceeds the stratum's budget; the row that exactly
+    * exhausts the budget is kept.
+    *
+    * Scale shape: ONE hash exchange on the stratum key and a per-stratum
+    * sort — no global sort, no driver collection. A stratum's rows land on
+    * one task, so the unit of skew is the stratum itself: at 10^12 docs
+    * keep strata host/source-grained (bounded), not corpus-grained; for a
+    * single corpus-wide budget, pre-aggregate per-stratum token sums and
+    * allocate the budget proportionally instead of windowing one giant
+    * partition.
+    */
+  def budgetSelect(
+      df: DataFrame,
+      strataCol: String,
+      tokensCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long,
+      orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must define the take order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(orderCols: _*)
+    val strata = col(strataCol)
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(null: Column) {
+      case (acc, (s, b)) =>
+        if (acc == null) when(strata === lit(s), lit(b))
+        else acc.when(strata === lit(s), lit(b))
+    } match {
+      case null => lit(defaultBudget)
+      case c    => c.otherwise(lit(defaultBudget))
+    }
+    df.withColumn("_cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("_cum_tokens") <= budget)
+      .drop("_cum_tokens")
+  }
+
   /** The same CASE/filter as ANSI SQL for a DuckDB oracle, built from the
     * same thresholds (single source of truth).
     */

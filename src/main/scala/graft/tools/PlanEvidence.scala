@@ -207,6 +207,16 @@ object PlanEvidence {
       "shuffles nothing before the final presentation sort.")(
       graft.analytics.Queries.all("q_rep_dupgram")(spark, sf))
 
+    section("Token-budget selection — one stratum-key exchange, " +
+      "per-stratum sort (q_budget_select)",
+      "`Sampling.budgetSelect`: running-sum window partitioned by the " +
+      "stratum — ONE hash exchange on the stratum key, per-stratum sort, " +
+      "no global sort, no driver collection; the unit of skew is the " +
+      "stratum itself, so keep strata host/source-grained at volume " +
+      "(scaladoc documents the proportional-allocation alternative for a " +
+      "corpus-wide budget).")(
+      graft.analytics.Queries.all("q_budget_select")(spark, sf))
+
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md (" + sb.length + " chars)")
     spark.stop()

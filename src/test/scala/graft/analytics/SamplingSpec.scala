@@ -1,6 +1,5 @@
 package graft.analytics
 
-import org.apache.spark.sql.execution.exchange.Exchange
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -54,10 +53,12 @@ class SamplingSpec extends AnyFunSuite {
   }
 
   test("the sample is a pure filter: no Exchange in the plan") {
-    val out = Sampling.stratifiedSample(corpus(100), "stratum", Seq("id"),
+    // string-match the rendered plan — SparkPlan.collect does not descend
+    // into an unfinalised AdaptiveSparkPlan's subtree
+    val plan = Sampling.stratifiedSample(corpus(100), "stratum", Seq("id"),
       Map("s0" -> 0.5), 0.1, "t")
-    val plan = out.queryExecution.executedPlan
-    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
       s"expected shuffle-free sampling plan, got:\n$plan")
   }
 
@@ -68,6 +69,45 @@ class SamplingSpec extends AnyFunSuite {
       df, "stratum", Seq("id"), Map.empty, 0.3, "acc").count()
     // binomial(20000, .3): σ ≈ 65 → 4σ window
     assert(math.abs(kept - 6000L) < 260, s"kept=$kept")
+  }
+
+  test("budgetSelect: per-stratum cut is exact, ordered, deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 50L), ("a", 3L, 40L), ("a", 4L, 5L),
+      ("b", 5L, 300L), ("c", 6L, 10L))
+      .toDF("stratum", "id", "tokens")
+    val out = Sampling.budgetSelect(df, "stratum", "tokens",
+      budgets = Map("b" -> 0L), defaultBudget = 150L,
+      orderCols = Seq(col("tokens").desc, col("id")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // a: 100 + 50 = 150 exactly exhausts (kept), 40 would overflow → {1,2};
+    // b: budget 0 → nothing; c: 10 ≤ 150 → kept
+    assert(out == Set(1L, 2L, 6L))
+  }
+
+  test("budgetSelect: a first doc larger than the budget empties the stratum") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 500L), ("a", 2L, 100L)).toDF("stratum", "id", "tokens")
+    val out = Sampling.budgetSelect(df, "stratum", "tokens",
+      Map.empty, 200L, Seq(col("tokens").desc, col("id")))
+      .collect()
+    // the 500-token doc sorts first and blows the budget; the 100-token doc
+    // behind it is also excluded (cumulative 600) — the cut is a prefix of
+    // the ORDER, not a knapsack
+    assert(out.isEmpty)
+  }
+
+  test("budgetSelect plans exactly one hash exchange (the stratum key)") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (s"s${i % 4}", i.toLong, 10L))
+      .toDF("stratum", "id", "tokens")
+    val plan = Sampling.budgetSelect(df, "stratum", "tokens",
+      Map.empty, 50L, Seq(col("tokens").desc, col("id")))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1 && plan.contains("Exchange hashpartitioning(stratum"),
+      s"expected exactly one stratum-key exchange, got:\n$plan")
   }
 
   test("multi-column keys change the coordinate (url+snapshot style)") {
