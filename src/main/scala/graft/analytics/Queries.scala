@@ -1365,6 +1365,64 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // --- URL canonicalization + per-URL recrawl dedup: both engines build
+  //     the SAME messy synthetic URLs (uppercase scheme/host, www, :443,
+  //     utm params, fragments, trailing slashes) from the documents table,
+  //     canonicalize with the same rule chain, and keep the newest doc per
+  //     canonical URL. DuckDB regexp_replace needs 'g' (first-match-only
+  //     by default, unlike Spark); replacement backrefs are \1 vs $1. -----
+  register("q_url_canonical_dedup",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'HTTPS://WWW.' || upper(source) || '.RO:443/Articol/' ||
+      |         (doc_id % 50) ||
+      |         CASE doc_id % 3
+      |           WHEN 0 THEN '?utm_source=feed&ref=' || (doc_id % 5)
+      |           WHEN 1 THEN '/?utm_campaign=x' ELSE '' END ||
+      |         CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+      |  FROM documents),
+      |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS s FROM u),
+      |c2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+      |         regexp_replace(s,
+      |           '(?i)([?&])(utm_[a-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+      |         '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS s
+      |       FROM c1),
+      |c3 AS (SELECT doc_id, s,
+      |         lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+      |           AS scheme,
+      |         regexp_replace(
+      |           lower(regexp_extract(s, '^[^:/?#]+://([^/?#]*)', 1)),
+      |           '^www\.', '', 'g') AS auth1,
+      |         regexp_replace(s, '^[^:/?#]+://[^/?#]*', '', 'g') AS rest
+      |       FROM c2),
+      |c AS (SELECT doc_id,
+      |        CASE WHEN scheme = '' THEN regexp_replace(s, '/+$', '', 'g')
+      |             ELSE scheme || '://' ||
+      |                  CASE scheme
+      |                    WHEN 'http' THEN regexp_replace(auth1, ':80$', '', 'g')
+      |                    WHEN 'https' THEN regexp_replace(auth1, ':443$', '', 'g')
+      |                    ELSE auth1 END ||
+      |                  regexp_replace(rest, '/+$', '', 'g') END AS canon_url
+      |      FROM c3)
+      |SELECT canon_url, doc_id FROM c
+      |QUALIFY row_number() OVER (PARTITION BY canon_url
+      |                           ORDER BY doc_id DESC) = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val url = concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".RO:443/Articol/"),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&ref="), (col("doc_id") % 5).cast("string")))
+        .when(col("doc_id") % 3 === 1, lit("/?utm_campaign=x"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("#sec")).otherwise(lit("")))
+    UrlOps.keepLatestPerUrl(
+        t(s, dir, "documents").withColumn("url", url),
+        "url", "doc_id", tieCols = Seq.empty)
+      .select("canon_url", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // --- Gopher line-shape heuristics over a DERIVED multi-line text --------
   // The synthetic documents carry no newlines, so the oracle would be
   // trivially 0; both engines first apply the SAME literal replace chain

@@ -217,6 +217,16 @@ object PlanEvidence {
       "corpus-wide budget).")(
       graft.analytics.Queries.all("q_budget_select")(spark, sf))
 
+    section("URL canonicalization + recrawl dedup — codegen'd regex " +
+      "chain, one canon-url exchange (q_url_canonical_dedup)",
+      "`UrlOps.keepLatestPerUrl`: canonicalization is a pure built-in " +
+      "regexp chain (no UDF — it evaluates inside the scan's " +
+      "WholeStageCodegen), and the per-URL latest-crawl cut is a " +
+      "row_number window behind ONE hash exchange on the canonical URL — " +
+      "the cheap recrawl-hygiene pass that runs before any content-level " +
+      "dedup at corpus scale.")(
+      graft.analytics.Queries.all("q_url_canonical_dedup")(spark, sf))
+
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md (" + sb.length + " chars)")
     spark.stop()
