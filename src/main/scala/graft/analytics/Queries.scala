@@ -1257,15 +1257,20 @@ object Queries {
   // Tokenization is \s+ split with empties dropped on BOTH engines; char
   // counts are code points (DuckDB len()); gram char length = len(gram) -
   // (n-1) because grams are chr(0)-joined (one separator char per boundary).
+  // `tot` is list-level (not unnest+GROUP BY) so a zero-token doc KEEPS its
+  // row and lands in the CASE tot=0 branch, matching the Spark side's 0.0;
+  // text is null-coalesced identically in both engines.
   private def repToks =
     """WITH toks AS (
       |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(text, '\s+'),
+      |         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
       |                     w -> len(w) > 0) AS ws
       |  FROM documents),
       |tot AS (
-      |  SELECT doc_id, coalesce(sum(len(w)), 0) AS tot
-      |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY doc_id)""".stripMargin
+      |  SELECT doc_id,
+      |         coalesce(list_aggregate(list_transform(ws, w -> len(w)),
+      |                                 'sum'), 0) AS tot
+      |  FROM toks)""".stripMargin
 
   // --- repetition 1: top-2-gram char fraction (Gopher n ∈ 2..4 family) ----
   register("q_rep_topgram",
@@ -1288,7 +1293,8 @@ object Queries {
        |FROM tot t LEFT JOIN (SELECT doc_id, cov FROM top WHERE rn = 1) p
        |  USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val words =
+      graft.stages.Heuristics.wordsCol(coalesce(col("text"), lit("")))
     t(s, dir, "documents")
       .select(col("doc_id"),
         round(graft.functions.Repetition.top_ngram_char_frac(words, 2), 6)
@@ -1320,7 +1326,8 @@ object Queries {
        |            ELSE round(coalesce(c.cc, 0) * 1.0 / t.tot, 6) END AS dup3_frac
        |FROM tot t LEFT JOIN covchars c USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val words =
+      graft.stages.Heuristics.wordsCol(coalesce(col("text"), lit("")))
     t(s, dir, "documents")
       .select(col("doc_id"),
         round(graft.functions.Repetition.dup_ngram_char_frac(words, 3), 6)
@@ -1396,13 +1403,15 @@ object Queries {
       |         regexp_replace(s, '^[^:/?#]+://[^/?#]*', '', 'g') AS rest
       |       FROM c2),
       |c AS (SELECT doc_id,
-      |        CASE WHEN scheme = '' THEN regexp_replace(s, '/+$', '', 'g')
+      |        CASE WHEN scheme = ''
+      |             THEN regexp_replace(s, '^([^?]*?)/+$', '\1', 'g')
       |             ELSE scheme || '://' ||
       |                  CASE scheme
       |                    WHEN 'http' THEN regexp_replace(auth1, ':80$', '', 'g')
       |                    WHEN 'https' THEN regexp_replace(auth1, ':443$', '', 'g')
       |                    ELSE auth1 END ||
-      |                  regexp_replace(rest, '/+$', '', 'g') END AS canon_url
+      |                  regexp_replace(rest, '^([^?]*?)/+$', '\1', 'g')
+      |             END AS canon_url
       |      FROM c3)
       |SELECT canon_url, doc_id FROM c
       |QUALIFY row_number() OVER (PARTITION BY canon_url

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * shuffle and zero RNG state.
   *
   * Mechanism: a row's sampling coordinate is the first 15 hex digits of
-  * `md5(strata|key...|salt)` — uniform over [0, 16^15) — and a row is kept
+  * `md5(md5(strata) ++ md5(key)... ++ salt)` (fixed-width component
+  * blocks — no separator aliasing) — uniform over [0, 16^15) — and a row
+  * is kept
   * when that string is lexicographically below its stratum's threshold.
   * Lexicographic order on equal-length lowercase hex IS numeric order, so
   * the filter is exactly `U(0,1) < rate` with a cryptographic U. Benefits
@@ -48,11 +50,18 @@ object Sampling {
   }
 
   /** The row's sampling coordinate: uniform 15-hex string from the strata
-    * value, the identifying key columns, and the salt.
+    * value, the identifying key columns, and the salt. Each component is
+    * md5'd to a fixed 32-hex block BEFORE the outer hash, so values
+    * containing any separator character cannot alias across components
+    * ((\"a|b\", \"c\") ≠ (\"a\", \"b|c\")); NULL components hash as the empty
+    * string — callers with nullable keys that must stay distinct from ''
+    * should coalesce to their own sentinel.
     */
-  def coordinate(strata: Column, keys: Seq[Column], salt: String): Column =
-    substring(md5((concat_ws("|", (strata +: keys) :+ lit(salt): _*))
-      .cast("binary")), 1, 15)
+  def coordinate(strata: Column, keys: Seq[Column], salt: String): Column = {
+    val blocks = (strata +: keys).map(c =>
+      md5(coalesce(c.cast("string"), lit("")).cast("binary")))
+    substring(md5(concat(blocks :+ lit(salt): _*).cast("binary")), 1, 15)
+  }
 
   /** Keep a deterministic `rates(stratum)` fraction of each stratum
     * (`defaultRate` for strata not in the map). Pure filter — no shuffle,
@@ -93,6 +102,9 @@ object Sampling {
     * single corpus-wide budget, pre-aggregate per-stratum token sums and
     * allocate the budget proportionally instead of windowing one giant
     * partition.
+    *
+    * `_cum_tokens` is reserved: an input column of that name is
+    * overwritten.
     */
   def budgetSelect(
       df: DataFrame,
@@ -121,6 +133,8 @@ object Sampling {
   /** The same CASE/filter as ANSI SQL for a DuckDB oracle, built from the
     * same thresholds (single source of truth).
     */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   def whereSql(
       strataCol: String,
       keyCols: Seq[String],
@@ -128,10 +142,12 @@ object Sampling {
       defaultRate: Double,
       salt: String): String = {
     val caseArms = rates.toSeq.sortBy(_._1).map { case (s, r) =>
-      s"WHEN '$s' THEN '${thresholdHex(r)}'"
+      s"WHEN ${sqlLit(s)} THEN '${thresholdHex(r)}'"
     }.mkString(" ")
-    val keys = keyCols.mkString(", ")
-    s"substr(md5(concat_ws('|', $strataCol, $keys, '$salt')), 1, 15) < " +
+    val blocks = (strataCol +: keyCols)
+      .map(c => s"md5(coalesce(CAST($c AS VARCHAR), ''))")
+      .mkString(" || ")
+    s"substr(md5($blocks || ${sqlLit(salt)}), 1, 15) < " +
       s"CASE $strataCol $caseArms ELSE '${thresholdHex(defaultRate)}' END"
   }
 }

@@ -48,17 +48,24 @@ object UrlOps {
       .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
       .otherwise(auth1)
     val rest = regexp_replace(noTrack, "^[^:/?#]+://[^/?#]*", "")
-    // 6. trailing slashes on the path part (query untouched: only strip
-    //    when the remainder ends in '/', i.e. no '?...' after it)
-    val restClean = regexp_replace(rest, "/+$", "")
+    // 6. trailing slashes — ONLY when no query string follows: the pattern
+    //    below must match the whole remainder and [^?] cannot cross a '?',
+    //    so `?file=/docs/` (byte-significant query) is never touched while
+    //    `/articol/` still canonicalizes to `/articol`
+    def stripPathSlash(c: Column): Column =
+      regexp_replace(c, "^([^?]*?)/+$", "$1")
     // a url without a scheme passes through untouched except rules 1/5/6
-    when(scheme === "", regexp_replace(noTrack, "/+$", ""))
-      .otherwise(concat(scheme, lit("://"), auth, restClean))
+    when(scheme === "", stripPathSlash(noTrack))
+      .otherwise(concat(scheme, lit("://"), auth, stripPathSlash(rest)))
   }
 
   /** One row per canonical URL: the newest by `tsCol`, ties broken by
     * `tieCols` (supply enough for a total order or the survivor is
     * nondeterministic). ONE hash exchange on the canonical URL.
+    *
+    * The output carries the canonical form as `canon_url`; input columns
+    * named `canon_url`, `_canon_url` or `_rn` are reserved (overwritten /
+    * duplicated) — rename them first.
     */
   def keepLatestPerUrl(
       df: DataFrame,

@@ -118,4 +118,15 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(coords.distinct.length == 2)
   }
+
+  test("components cannot alias across boundaries (fixed-width blocks)") {
+    import spark.implicits._
+    // ("a|b", "c") vs ("a", "b|c"): a separator-joined coordinate would
+    // collide; component-wise md5 blocks must not
+    val df = Seq(("a|b", "c"), ("a", "b|c")).toDF("stratum", "k")
+    val coords = df.select(
+      Sampling.coordinate(col("stratum"), Seq(col("k")), "t"))
+      .collect().map(_.getString(0))
+    assert(coords.distinct.length == 2)
+  }
 }

@@ -47,6 +47,9 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(canon("https://x.ro/") == "https://x.ro")
     // a slash before a kept query is untouched
     assert(canon("https://x.ro/a/?id=1") == "https://x.ro/a/?id=1")
+    // a slash ENDING a query value is byte-significant — never stripped
+    assert(canon("https://x.ro/a?file=/docs/") == "https://x.ro/a?file=/docs/")
+    assert(canon("x.ro/a?file=/docs/") == "x.ro/a?file=/docs/")
   }
 
   test("scheme-less strings pass through with only frag/track/slash rules") {
