@@ -1432,6 +1432,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // --- corpus-wide vocabulary stats: top-k most frequent word bigrams
+  //     (the derivation step behind stopword/marker-gram constants);
+  //     plans as partial agg → one gram exchange → TakeOrderedAndProject.
+  register("q_vocab_top2grams",
+    """WITH toks AS (
+      |  SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+      |                     w -> len(w) > 0) AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT array_to_string(ws[u : u + 1], ' ') AS gram
+      |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS u
+      |        FROM toks WHERE len(ws) >= 2))
+      |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+      |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin) { (s, dir) =>
+    Vocab.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 20)
+  }
+
   // --- Gopher line-shape heuristics over a DERIVED multi-line text --------
   // The synthetic documents carry no newlines, so the oracle would be
   // trivially 0; both engines first apply the SAME literal replace chain

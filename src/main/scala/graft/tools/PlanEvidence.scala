@@ -227,6 +227,16 @@ object PlanEvidence {
       "dedup at corpus scale.")(
       graft.analytics.Queries.all("q_url_canonical_dedup")(spark, sf))
 
+    section("Vocabulary top-k n-grams — partial agg + " +
+      "TakeOrderedAndProject (q_vocab_top2grams)",
+      "`Vocab.topNgrams`: explode → map-side partial combine → ONE " +
+      "gram-key exchange → final aggregate, and the top-k is " +
+      "`TakeOrderedAndProject` — each task keeps its local k and the " +
+      "driver merges k·tasks rows; no global sort, no full collect. The " +
+      "derivation step behind the stopword/marker-gram constants the " +
+      "quality stages consume.")(
+      graft.analytics.Queries.all("q_vocab_top2grams")(spark, sf))
+
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md (" + sb.length + " chars)")
     spark.stop()
