@@ -41,15 +41,15 @@ import graft.functions.TextFunctions.shingle_hashes
 object Decontaminate {
 
   /** Distinct hashed word n-grams of `textCol` (empty when < n tokens). */
-  private def grams(textCol: String, n: Int): Column =
-    array_distinct(shingle_hashes(split(col(textCol), " "), n))
+  private def grams(text: Column, n: Int): Column =
+    array_distinct(shingle_hashes(split(text, " "), n))
 
   /** The eval set's distinct gram frame: one `g` column, deduplicated.
     * Exposed so a pipeline can build it once, persist it, and decontaminate
     * many corpus slices against the same frame.
     */
   def benchGrams(bench: DataFrame, textCol: String, n: Int): DataFrame =
-    bench.select(explode(grams(textCol, n)).as("g")).distinct()
+    bench.select(explode(grams(col(textCol), n)).as("g")).distinct()
 
   /** Per-document contamination report: one row per corpus doc sharing at
     * least one n-gram with the eval set — `(id, n_grams, n_hit_grams,
@@ -65,7 +65,7 @@ object Decontaminate {
     val bg0 = benchGrams(bench, textCol, n)
     val bg = if (broadcastBench) broadcast(bg0) else bg0.hint("merge")
     docs
-      .select(col(idCol).as("id"), grams(textCol, n).as("gs"))
+      .select(col(idCol).as("id"), grams(col(textCol), n).as("gs"))
       .filter(size(col("gs")) > 0)
       // n_grams rides along the exploded rows so no join back to the corpus
       // is needed for the denominator
@@ -93,5 +93,35 @@ object Decontaminate {
       .select(col("id"))
     docs.join(flagged.hint("merge"), docs(idCol) === flagged("id"),
       "left_anti")
+  }
+
+  /** The eval set's distinct gram hashes, driver-collected and sorted —
+    * the explicit form of the `broadcastBench = true` assumption (eval
+    * suites are thousands of examples; the 5M-doc scale run's eval frame
+    * was 398k grams ≈ 3 MB). Build once, reuse across corpus slices AND
+    * streams.
+    */
+  def benchGramArray(bench: DataFrame, textCol: String, n: Int = 13): Array[Long] =
+    benchGrams(bench, textCol, n).collect().map(_.getLong(0)).sorted
+
+  /** Per-row distinct-gram hit count against a collected eval-gram array —
+    * STATELESS (the set rides inside the expression, binary-searched per
+    * gram): no join, no shuffle, no state store, so the same column works
+    * on batch frames and Structured Streaming micro-batches alike.
+    */
+  def hitCountCol(textCol: Column, sortedGrams: Array[Long], n: Int = 13): Column =
+    graft.functions.LongSetOps.count_in_set(grams(textCol, n), sortedGrams)
+
+  /** Corpus (batch OR streaming) with contaminated rows removed, judged
+    * against a pre-collected eval-gram array — semantics ≡ [[decontaminate]]
+    * with `broadcastBench = true` (spec-pinned), but expressed as a pure
+    * per-row filter: at 10^12 docs the corpus never shuffles at all, and
+    * on a stream each micro-batch filters independently (exactly-once
+    * under checkpointing, no watermark needed).
+    */
+  def decontaminateAgainst(docs: DataFrame, sortedGrams: Array[Long],
+      textCol: String, n: Int = 13, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"minHits = $minHits must be >= 1")
+    docs.filter(hitCountCol(col(textCol), sortedGrams, n) < minHits)
   }
 }

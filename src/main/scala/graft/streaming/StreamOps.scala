@@ -36,6 +36,22 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming benchmark decontamination — the streaming twin of
+    * [[graft.dedup.Decontaminate.decontaminate]]: the eval set's distinct
+    * gram hashes are collected ONCE (the broadcast-dim assumption made
+    * explicit) and every micro-batch filters statelessly against them —
+    * no join, no shuffle, no state store, no watermark; exactly-once under
+    * checkpointing because a row's fate depends only on its own text.
+    * Semantics ≡ the batch operator at `broadcastBench = true`
+    * (spec-pinned batch-vs-stream).
+    */
+  def decontaminateStream(pages: DataFrame, bench: DataFrame,
+      textCol: String, n: Int = 13, minHits: Int = 1): DataFrame =
+    graft.dedup.Decontaminate.decontaminateAgainst(
+      pages,
+      graft.dedup.Decontaminate.benchGramArray(bench, textCol, n),
+      textCol, n, minHits)
+
   /** Event-time windowed counts with a watermark (late data bounded by
     * `lateness`): docs per (window, decision).
     */

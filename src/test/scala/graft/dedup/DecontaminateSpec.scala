@@ -129,4 +129,27 @@ class DecontaminateSpec extends AnyFunSuite {
         minHits = 0)
     }
   }
+
+  test("decontaminateAgainst (stateless set filter) ≡ decontaminate, and " +
+      "its plan has neither join nor exchange") {
+    val grams = Decontaminate.benchGramArray(bench, "text", n = 3)
+    for (minHits <- Seq(1, 3)) {
+      val viaJoin = Decontaminate.decontaminate(
+          corpus, bench, "doc_id", "text", n = 3, minHits = minHits)
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      val viaSet = Decontaminate.decontaminateAgainst(
+          corpus, grams, "text", n = 3, minHits = minHits)
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(viaSet == viaJoin, s"minHits=$minHits")
+    }
+    // empty eval set → identity (binarySearch over an empty array)
+    assert(Decontaminate.decontaminateAgainst(
+      corpus, Array.empty[Long], "text", n = 3).count() == corpus.count())
+    // scale shape: a pure filter — the set rides inside the expression
+    val plan = Decontaminate.decontaminateAgainst(corpus, grams, "text",
+        n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"expected a join-free, shuffle-free filter plan:\n$plan")
+  }
 }

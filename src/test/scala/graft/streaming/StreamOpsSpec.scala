@@ -60,6 +60,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(recovered.toMap == batch)
   }
 
+  test("streaming decontamination ≡ batch decontaminate, across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_sdecon").toString
+    val docs = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma other words here",
+      3L -> "totally clean document nothing shared",
+      4L -> "one two three four five six",
+      5L -> "short").toDF("doc_id", "text")
+    val bench = Seq(
+      100L -> "alpha beta gamma delta epsilon",
+      101L -> "one two three four").toDF("doc_id", "text")
+    docs.repartition(3).write.parquet(s"$base/landing") // several files →
+    // maxFilesPerTrigger drives multiple micro-batches
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/landing")
+    val q = StreamOps.decontaminateStream(stream, bench, "text",
+        n = 3, minHits = 2)
+      .writeStream.format("memory").queryName("sdecon")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sdecon")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.dedup.Decontaminate.decontaminate(
+        docs, bench, "doc_id", "text", n = 3, minHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed == Set(2L, 3L, 5L)) // 1 and 4 share ≥2 eval grams
+  }
+
   test("streaming dedup keeps one row per content digest (bounded state)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
