@@ -20,18 +20,12 @@ import graft.stages.Heuristics
 object Vocab {
 
   /** The n-gram strings of a text column (words joined by a single space;
-    * words are whitespace-split so the join is unambiguous). HOF-based —
-    * meant for the aggregate query path, not a per-row hot loop.
+    * words are whitespace-split so the join is unambiguous) — a native
+    * codegen Expression: the HOF spelling was CodegenFallback and made
+    * this the slowest query on the bench (3.7 s → sub-second at sf0.1).
     */
-  def ngramStrings(textCol: Column, n: Int): Column = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val w = Heuristics.wordsCol(textCol)
-    if (n == 1) w
-    else
-      when(size(w) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(w) - n),
-          i => array_join(slice(w, i + 1, lit(n)), " ")))
-  }
+  def ngramStrings(textCol: Column, n: Int): Column =
+    graft.functions.Repetition.ngram_strings(Heuristics.wordsCol(textCol), n)
 
   /** Top-k most frequent word n-grams with their counts and dense rank. */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {

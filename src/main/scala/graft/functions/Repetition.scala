@@ -48,6 +48,16 @@ object Repetition {
     ColumnShim.column(DupNgramFracExpr(ColumnShim.expr(tokens), n))
   }
 
+  /** The space-joined n-gram STRINGS of a token array (empty when < n
+    * tokens) — one codegen'd pass; the HOF spelling
+    * (`transform(sequence(...), i => array_join(slice(...)))`) is
+    * CodegenFallback and ~7× slower on the vocab query.
+    */
+  def ngram_strings(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    ColumnShim.column(NgramStringsExpr(ColumnShim.expr(tokens), n))
+  }
+
   /** Gopher's published repetition bounds (Rae et al. 2021, table A1): a
     * document is dropped when ANY signal exceeds its bound.
     */
@@ -117,6 +127,22 @@ object Repetition {
     sb.toString
   }
 
+  def ngramStringsData(arr: ArrayData, n: Int): ArrayData = {
+    val toks = tokenStrings(arr)
+    val len = toks.length
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var u = 0
+    while (u + n <= len) {
+      out(u) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(gramKey(toks, u, n))
+      u += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def topNgramFrac(arr: ArrayData, n: Int): Double = {
     val toks = tokenStrings(arr)
     val len = toks.length
@@ -177,6 +203,20 @@ object Repetition {
     while (i < len) { if (covered(i)) cc += codePoints(toks(i)); i += 1 }
     cc.toDouble / total.toDouble
   }
+}
+
+case class NgramStringsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Repetition.ngramStringsData(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Repetition.ngramStringsData($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramStringsExpr =
+    copy(child = c)
+  override def prettyName: String = "ngram_strings"
 }
 
 case class TopNgramFracExpr(child: Expression, n: Int) extends UnaryExpression {
