@@ -27,7 +27,7 @@ object Vocab {
   def ngramStrings(textCol: Column, n: Int): Column =
     graft.functions.Repetition.ngram_strings(Heuristics.wordsCol(textCol), n)
 
-  /** Top-k most frequent word n-grams with their counts and dense rank. */
+  /** Top-k most frequent word n-grams with their counts: (gram, cnt). */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     df.select(explode(ngramStrings(col(textCol), n)).as("gram"))

@@ -122,6 +122,11 @@ object Decontaminate {
   def decontaminateAgainst(docs: DataFrame, sortedGrams: Array[Long],
       textCol: String, n: Int = 13, minHits: Int = 1): DataFrame = {
     require(minHits >= 1, s"minHits = $minHits must be >= 1")
-    docs.filter(hitCountCol(col(textCol), sortedGrams, n) < minHits)
+    // null text → null hit count → coalesce to 0: a null-text doc has no
+    // grams to hit and must SURVIVE, matching the join-based operator
+    // (where it never enters gramHits); a bare `null < minHits` filter
+    // would silently delete it
+    docs.filter(
+      coalesce(hitCountCol(col(textCol), sortedGrams, n), lit(0)) < minHits)
   }
 }

@@ -46,6 +46,10 @@ object LongSetOps {
 case class CountInSortedSetExpr(child: Expression, sorted: Array[Long])
   extends UnaryExpression {
   override def dataType: DataType = IntegerType
+  // render the set by SIZE, not the array's identity hash — plan strings
+  // must stay byte-stable across runs (PLANS.md/golden regen discipline)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<${sorted.length} grams>")
   override def nullSafeEval(v: Any): Any =
     LongSetOps.countIn(v.asInstanceOf[ArrayData], sorted)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
