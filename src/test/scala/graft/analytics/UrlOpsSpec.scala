@@ -57,6 +57,37 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(canon("Example.RO/Case/") == "Example.RO/Case")
   }
 
+  test("canonicalizeUrl is idempotent on every fixture") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "HTTPS://Example.RO/Path/File",
+      "https://www.example.ro:443/a#sect",
+      "http://www.example.ro:80/a",
+      "https://example.ro:8443/a",
+      "http://example.ro:443/a",
+      "https://x.ro/a?utm_source=f&id=3",
+      "https://x.ro/a?id=3&utm_source=f",
+      "https://x.ro/a?utm_a=1&utm_b=2",
+      "https://x.ro/a?UTM_SOURCE=f&fbclid=z&gclid=q&k=v",
+      "https://x.ro/a?k=1&utm_x=9&j=2",
+      "https://x.ro/articol/",
+      "https://x.ro///",
+      "https://x.ro/",
+      "https://x.ro/a/?id=1",
+      "https://x.ro/a?file=/docs/",
+      "example.ro/a/?utm_s=1#f",
+      "Example.RO/Case/",
+      "x.ro/a?file=/docs/")
+    val rows = fixtures.toDF("url")
+      .select(
+        UrlOps.canonicalizeUrl(col("url")).as("once"),
+        UrlOps.canonicalizeUrl(UrlOps.canonicalizeUrl(col("url"))).as("twice"))
+      .collect()
+    val broken = rows.filter(r => r.getString(0) != r.getString(1))
+      .map(r => s"${r.getString(0)} -> ${r.getString(1)}")
+    assert(broken.isEmpty, s"not idempotent: ${broken.mkString("; ")}")
+  }
+
   test("keepLatestPerUrl: newest row per canonical URL survives") {
     import spark.implicits._
     val df = Seq(
