@@ -78,4 +78,64 @@ object Align {
       rnCol: String = "rn"): DataFrame =
     withGlobalRowNumber(a, sortCols, rnCol)
       .join(withGlobalRowNumber(b, sortCols, rnCol), rnCol)
+
+  /** [[withGlobalRowNumber]] computed independently WITHIN each value of
+    * `tagCol`, in one pass (r6 optimization): when the sides of an
+    * alignment join are filters of ONE table (the reference's
+    * `comparison.py` pairs two status slices of the same result set), a
+    * per-side [[withGlobalRowNumber]] costs two scans, two eager
+    * materializations and two driver censuses. Here the tagged union is
+    * range-partitioned by `sortCols` ONCE (tags interleave in the same
+    * key ranges — ranges don't need to align with tags for correctness,
+    * since ranking partitions by (__pid, tag)); one census counts
+    * per-(partition, tag) rows; per-tag cumulative offsets then make the
+    * within-(partition, tag) rank globally contiguous per tag — the
+    * numbers are IDENTICAL to running [[withGlobalRowNumber]] on each
+    * tag's slice (AlignSpec pins it).
+    *
+    * Same eager-materialization caveats as [[withGlobalRowNumber]].
+    */
+  def withGlobalRowNumberByTag(df: DataFrame, tagCol: String,
+      sortCols: Seq[Column], out: String, numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .transform(Materialize.apply)
+    // per-(partition, tag) counts → per-tag cumulative offsets, computed
+    // driver-side over the tiny (n × tags)-row manifest
+    val counts = ranged.groupBy(col("__pid"), col(tagCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = counts.groupBy(_._2).toSeq.flatMap { case (tag, rows) =>
+      rows.sortBy(_._1).scanLeft((tag, -1, 0L)) {
+        case ((_, _, cum), (pid, _, cnt)) => (tag, pid, cum + cnt)
+      }.sliding(2).collect {
+        case Array((_, _, off), (t, pid, _)) => (t, pid, off)
+      }
+    }
+    val spark = df.sparkSession
+    val offsetRows: java.util.List[org.apache.spark.sql.Row] = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](offsets.size)
+      offsets.foreach { case (tag, pid, off) =>
+        l.add(org.apache.spark.sql.Row(tag, pid, off))
+      }
+      l
+    }
+    // a LocalRelation (driver-computed manifest), as in withGlobalRowNumber
+    val offsetsDf = spark.createDataFrame(offsetRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(tagCol,
+          df.schema(tagCol).dataType),
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType))))
+    val local = Window.partitionBy(col("__pid"), col(tagCol))
+      .orderBy(sortCols: _*)
+    ranged.join(broadcast(offsetsDf), Seq(tagCol, "__pid"))
+      .withColumn(out, row_number().over(local) + col("__off"))
+      .drop("__pid")
+  }
 }

@@ -124,12 +124,18 @@ object Queries {
     (s, dir) =>
       // distributed numbering (Align): range partition + per-partition rank
       // + broadcast offsets — identical values to the naive unpartitioned
-      // window, without its all-rows-to-one-task collapse
-      val o = t(s, dir, "orders")
-      def side(status: String) = Align.withGlobalRowNumber(
-        o.filter(col("o_orderstatus") === status)
-          .select("o_orderkey", "o_totalprice"),
-        Seq(col("o_orderkey")), "rn").select("rn", "o_totalprice")
+      // window, without its all-rows-to-one-task collapse. r6: both sides
+      // are status-filters of ONE table, so they are numbered in a single
+      // tagged pass (one scan, one range exchange, one materialization,
+      // one census — the per-side Align shape paid each twice).
+      val both = t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val numbered = Align.withGlobalRowNumberByTag(
+        both, "o_orderstatus", Seq(col("o_orderkey")), "rn")
+      def side(status: String) = numbered
+        .filter(col("o_orderstatus") === status)
+        .select("rn", "o_totalprice")
       side("F").alias("a").join(side("O").alias("b"), "rn")
         .filter(col("rn") <= 100)
         .select(col("rn"),
@@ -155,10 +161,17 @@ object Queries {
       |  UNION ALL
       |  SELECT lang FROM documents WHERE n_chars < 200
       |) GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-    val d = t(s, dir, "documents")
-    d.filter(col("source") === "src1").select("lang")
-      .unionByName(d.filter(col("n_chars") < 200).select("lang"))
-      .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+    // r6: ONE corpus scan — a row contributes 1 per union branch it
+    // satisfies, so n = Σ (I[src1] + I[n_chars<200]) over rows matching
+    // either; rows matching both still count twice (UNION ALL semantics)
+    // and langs with no matching row still emit no group. The former
+    // two-filtered-scans + union shape read the table twice.
+    t(s, dir, "documents")
+      .filter(col("source") === "src1" || col("n_chars") < 200)
+      .groupBy("lang")
+      .agg(sum(when(col("source") === "src1", 1).otherwise(0) +
+        when(col("n_chars") < 200, 1).otherwise(0)).as("n"))
+      .orderBy("lang")
   }
 
   // --- U2: INTERSECT disjointness check (shard_loader.py:72-78) ------------
@@ -391,7 +404,14 @@ object Queries {
       |ORDER BY lang""".stripMargin) { (s, dir) =>
     val t0 = t(s, dir, "documents").select(col("lang").as("label"),
       when(col("doc_id") % 7 === 0, "en").otherwise(col("lang")).as("pred"))
-    val m = t0.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    // r6: the confusion-count frame feeds THREE aggregate branches
+    // (diag/predt/labt) whose pruned subtrees defeat ReusedExchange —
+    // unmaterialized, each branch re-scanned and re-aggregated the whole
+    // corpus (3 scans). Materializing the ≤ |labels|·|preds| cell frame
+    // makes it ONE corpus scan + tiny-frame math, the q_a9_correlation
+    // contingency-table shape.
+    val m = graft.analytics.Materialize(
+      t0.groupBy("label", "pred").agg(count(lit(1)).as("n")))
     val diag = m.filter(col("label") === col("pred"))
       .groupBy(col("label").as("c")).agg(sum("n").as("tp"))
     val predt = m.groupBy(col("pred").as("c")).agg(sum("n").as("predn"))
@@ -444,13 +464,17 @@ object Queries {
       |WHERE n_chars = (SELECT max(n_chars) FROM documents d2
       |                 WHERE d2.lang = d.lang)
       |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang")
-      .orderBy(col("n_chars").desc, col("doc_id"))
+    // r6: one partial-aggregating groupBy instead of a full-corpus window
+    // sort — the former rk=1 row per lang is exactly the (max n_chars,
+    // min doc_id) argmax, i.e. max_by over the total order
+    // (n_chars, −doc_id); map-side combine shrinks the one exchange to
+    // ≤ one row per (task, lang) where the window shape shuffled and
+    // sorted every corpus row
     t(s, dir, "documents")
-      .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
-      .filter(col("rk") === 1)
-      .groupBy("lang").agg(min("doc_id").as("argmax_doc"))
+      .groupBy("lang")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+        .as("argmax_doc"))
       .orderBy("lang")
   }
 
@@ -777,8 +801,10 @@ object Queries {
       |WHERE q.vec_id < 5
       |QUALIFY rk <= 3 ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-      .withColumn("embedding",
-        transform(col("embedding"), x => x.cast("double")))
+      // array<float> → array<double> via the codegen'd array Cast (the
+      // per-element transform(...) HOF lambda it replaces is
+      // CodegenFallback; values are the identical float→double widening)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
     graft.similarity.Ann.bruteForceTopK(
       emb.filter(col("vec_id") < 5), emb, "vec_id", "vec_id", "embedding", 3)
       .orderBy("query_id", "rk")
@@ -787,8 +813,10 @@ object Queries {
   // --- similarity 2: LSH-bucketed ANN (scale path; rows-only) --------------
   register("q_ann_lsh_topk", null) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-      .withColumn("embedding",
-        transform(col("embedding"), x => x.cast("double")))
+      // array<float> → array<double> via the codegen'd array Cast (the
+      // per-element transform(...) HOF lambda it replaces is
+      // CodegenFallback; values are the identical float→double widening)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
     graft.similarity.Ann.lshTopK(emb.filter(col("vec_id") < 50), emb,
       "vec_id", "vec_id", "embedding", 3, planes = 6).orderBy("query_id", "rk")
   }
@@ -797,8 +825,10 @@ object Queries {
   //     deterministic sample-trained coarse quantizer; rows-only) ----------
   register("q_ann_ivf_topk", null) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-      .withColumn("embedding",
-        transform(col("embedding"), x => x.cast("double")))
+      // array<float> → array<double> via the codegen'd array Cast (the
+      // per-element transform(...) HOF lambda it replaces is
+      // CodegenFallback; values are the identical float→double widening)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
     val cents = graft.similarity.Ann.trainIvfCentroids(
       emb, "vec_id", "embedding", nlist = 8)
     graft.similarity.Ann.ivfTopK(emb.filter(col("vec_id") < 50), emb,
@@ -809,8 +839,10 @@ object Queries {
   // --- similarity 3: embedding near-dup pairs (rows-only; planted dups) ----
   register("q_ann_near_dups", null) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-      .withColumn("embedding",
-        transform(col("embedding"), x => x.cast("double")))
+      // array<float> → array<double> via the codegen'd array Cast (the
+      // per-element transform(...) HOF lambda it replaces is
+      // CodegenFallback; values are the identical float→double widening)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
     val planted = emb.select("vec_id", "embedding").unionByName(
       emb.filter(col("vec_id") % 9 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L)
@@ -824,8 +856,10 @@ object Queries {
   //     verify join; rows-only, superset-of-single-band spec-pinned) -------
   register("q_ann_near_dups_banded", null) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-      .withColumn("embedding",
-        transform(col("embedding"), x => x.cast("double")))
+      // array<float> → array<double> via the codegen'd array Cast (the
+      // per-element transform(...) HOF lambda it replaces is
+      // CodegenFallback; values are the identical float→double widening)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
     val planted = emb.select("vec_id", "embedding").unionByName(
       emb.filter(col("vec_id") % 9 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L)
@@ -975,8 +1009,7 @@ object Queries {
       |  round(list_reverse_sort(CAST(embedding AS DOUBLE[]))[2], 6) AS t2,
       |  round(list_reverse_sort(CAST(embedding AS DOUBLE[]))[3], 6) AS t3
       |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
-    val sorted = reverse(array_sort(
-      transform(col("embedding"), x => x.cast("double"))))
+    val sorted = reverse(array_sort(col("embedding").cast("array<double>")))
     t(s, dir, "embeddings").select(col("vec_id"),
       round(element_at(sorted, 1), 6).as("t1"),
       round(element_at(sorted, 2), 6).as("t2"),
@@ -992,12 +1025,15 @@ object Queries {
       |    list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> exp(x - list_max(CAST(embedding AS DOUBLE[]))))), 6) AS p0
       |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
-    val emb = transform(col("embedding"), x => x.cast("double"))
-    val m = array_max(emb)
-    val denom = aggregate(transform(emb, x => exp(x - m)),
-      lit(0.0), (acc, v) => acc + v)
+    // native softmax_arr (one codegen'd pass) — p0 is element 1 of the
+    // softmax array; the HOF spelling (array_max + 2 transform + aggregate,
+    // all CodegenFallback) computed exp(e[1]-m)/Σexp(e[i]-m) with the same
+    // IEEE ops in the same order, so the doubles are bit-identical
+    // (ArrayMathParitySpec pins it; the DuckDB oracle is unchanged)
+    val emb = col("embedding").cast("array<double>")
     t(s, dir, "embeddings").select(col("vec_id"),
-      round(exp(element_at(emb, 1) - m) / denom, 6).as("p0"))
+      round(element_at(graft.functions.ArrayMath.softmax_arr(emb), 1), 6)
+        .as("p0"))
       .orderBy("vec_id")
   }
 
@@ -1092,8 +1128,12 @@ object Queries {
        |FROM r WHERE rk <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
     (s, dir) =>
       import graft.functions.TopK
-      val logits = transform(sequence(lit(0), lit(5)),
-        i => ((col("doc_id") * 31 + i * 17) % 97) / 10.0)
+      // literal 6-slot array of codegen expressions — the former
+      // transform(sequence(0,5), ...) HOF evaluated the lambda interpreted
+      // per element; the arithmetic (long*31 + int, % 97, /10.0) and hence
+      // every logit value is identical
+      val logits = array((0 to 5).map(i =>
+        ((col("doc_id") * 31 + lit(i * 17)) % 97) / 10.0): _*)
       t(s, dir, "documents")
         .select(col("doc_id") +:
           TopK.topKClassColumns(TopK.softmaxArr(logits),

@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   *
   * Non-goals, documented: query-param reordering, percent-decoding, IDN —
   * each changes byte-level semantics some sites depend on; canonicalize
-  * conservatively and let content dedup catch the rest.
+  * conservatively and let content dedup catch the rest. Also a non-goal:
+  * `userinfo@` authorities (r5 ADVICE) — the authority regex treats
+  * `user:pass@host` as one unit, so userinfo is lowercased with the host
+  * and a leading `www.` inside it would be stripped; credentialed URLs
+  * are not crawl-corpus inputs, and preserving their byte semantics is
+  * explicitly out of scope rather than silently half-handled.
   */
 object UrlOps {
 

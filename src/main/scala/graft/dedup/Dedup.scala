@@ -593,23 +593,29 @@ object Dedup {
         .agg(array_distinct(flatten(collect_list(col("toks0")))).as("toks"))
     val orderedSets =
       if (!freqOrder)
-        base.withColumn("sh", transform(
-          array_sort(transform(col("toks"),
-            w => struct(xxhash64(w).as("h"), w.as("tok")))),
-          s => s.getField("tok")))
+        // r6: native (xxhash64, token)-ascending sort — one codegen'd call
+        // per row; the transform∘array_sort∘transform HOF chain it
+        // replaces ran CodegenFallback-interpreted with one xxhash64 eval
+        // per token per lambda pass (same hash kernel, same tie order, so
+        // the ordered arrays are identical — ArrayMathParitySpec)
+        base.withColumn("sh",
+          graft.functions.ArrayMath.sort_by_xxhash(col("toks")))
       else {
-        // exact document frequency per token (one explode + aggregate);
-        // rejoin and re-group to order each set rare-first. Two extra
-        // shuffles buy a candidate join keyed on rare tokens only.
-        // base is materialized so the tokenize+merge aggregate runs ONCE
-        // (it otherwise re-evaluates under both the dfreq aggregate and
-        // the join probe side). collect_set on the re-group: (grp, id) is
-        // unique after the guard above, so this is a plain reassembly.
+        // exact document frequency per token: a COUNT window over the
+        // exploded token frame (r6 — the former groupBy(tok) + merge
+        // self-join computed the same counts but exchanged the full
+        // exploded frame TWICE, once into the aggregate and once into the
+        // join probe; the window needs the tok exchange once and the
+        // downstream (grp, id) re-group is unchanged). base is
+        // materialized so the tokenize+merge aggregate runs ONCE
+        // (it otherwise re-evaluates under every consumer branch).
+        // collect_set on the re-group: (grp, id) is unique after the
+        // guard above, so this is a plain reassembly.
         val matBase = graft.analytics.Materialize(base)
         val tok = matBase.select(col("grp"), col("id"),
           explode(col("toks")).as("tok"))
-        val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-        tok.join(dfreq.hint("merge"), "tok")
+        val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+        tok.withColumn("df", count(lit(1)).over(wTok))
           .groupBy("grp", "id")
           .agg(transform(
             array_sort(collect_set(struct(col("df"), col("tok")))),

@@ -22,10 +22,17 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
 object LongSetOps {
 
   /** Count of array elements present in `sorted` (distinct or not — the
-    * caller dedups if distinct semantics are wanted).
+    * caller dedups if distinct semantics are wanted). The set is
+    * defensively copied and re-sorted at plan-build time (r5 ADVICE:
+    * binary search over an unsorted caller array would silently
+    * miscount) — O(k log k) once per plan, free for the already-sorted
+    * arrays [[graft.dedup.Decontaminate.benchGramArray]] builds.
     */
-  def count_in_set(arr: Column, sorted: Array[Long]): Column =
-    ColumnShim.column(CountInSortedSetExpr(ColumnShim.expr(arr), sorted))
+  def count_in_set(arr: Column, sorted: Array[Long]): Column = {
+    val s = sorted.clone()
+    java.util.Arrays.sort(s)
+    ColumnShim.column(CountInSortedSetExpr(ColumnShim.expr(arr), s))
+  }
 
   // ---- static helper (called from generated code) --------------------------
 

@@ -37,8 +37,17 @@ object TextFunctions {
   def tokenCountBpe(text: Column): Column =
     regexp_count(text, lit(BpeIshPattern))
 
-  /** Lowercased word tokens with punctuation-trimmed edges. */
+  /** Lowercased word tokens with punctuation-trimmed edges — a native
+    * codegen Expression since r6 ([[Tokenize.norm_tokens]]): the HOF
+    * spelling ran CodegenFallback-interpreted, one regexp Matcher per
+    * token, at the head of every minhash/simhash signature pass.
+    * [[normTokensHof]] stays as the parity reference (TokenizeParitySpec).
+    */
   def normTokens(text: Column): Column =
+    Tokenize.norm_tokens(text)
+
+  /** HOF reference of [[normTokens]] (parity tests only). */
+  private[graft] def normTokensHof(text: Column): Column =
     filter(
       transform(split(lower(text), "\\s+"),
         w => regexp_replace(w, "(?U)^\\W+|\\W+$", "")),

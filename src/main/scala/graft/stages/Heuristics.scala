@@ -18,8 +18,18 @@ object Heuristics {
 
   /** Whitespace tokenization of a text column (empty/blank text → empty
     * array; `split` leaves empty leading tokens, so filter them out).
+    * THE cross-engine tokenization contract ("\s+ split, empties
+    * dropped") — since r6 a native codegen Expression
+    * ([[graft.functions.Tokenize.words_ws]]): the HOF spelling below ran
+    * CodegenFallback-interpreted per token on every repetition/vocab/
+    * line-shape query. [[wordsColHof]] stays as the declarative contract
+    * statement; TokenizeParitySpec pins byte-identical outputs.
     */
   def wordsCol(text: Column): Column =
+    graft.functions.Tokenize.words_ws(text)
+
+  /** HOF reference of [[wordsCol]] (parity tests only). */
+  private[graft] def wordsColHof(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
 
   def docLenWords(words: Column): Column = size(words)
@@ -65,9 +75,15 @@ object Heuristics {
 
   /** Fraction of non-blank lines whose first non-space character is a
     * bullet marker (Gopher's "lines starting with a bullet point" rule;
-    * marker set: •, ‣, ▪, -, *).
+    * marker set: •, ‣, ▪, -, *). Native codegen Expression since r6 (the
+    * r5 ADVICE item: the HOF spelling was CodegenFallback on a declared
+    * corpus-scale filter stage); [[bulletLineFracHof]] is the parity
+    * reference.
     */
-  def bulletLineFrac(text: Column): Column = {
+  def bulletLineFrac(text: Column): Column =
+    graft.functions.LineShape.bullet_line_frac(text)
+
+  private[graft] def bulletLineFracHof(text: Column): Column = {
     val lines = nonBlankLines(text)
     when(size(lines) === 0, lit(0.0)).otherwise(
       size(filter(lines, l =>
@@ -77,8 +93,12 @@ object Heuristics {
 
   /** Fraction of non-blank lines ending in an ellipsis ("..." or "…") —
     * Gopher's truncated-line signal for scraped link farms / teasers.
+    * Native since r6; [[ellipsisLineFracHof]] is the parity reference.
     */
-  def ellipsisLineFrac(text: Column): Column = {
+  def ellipsisLineFrac(text: Column): Column =
+    graft.functions.LineShape.ellipsis_line_frac(text)
+
+  private[graft] def ellipsisLineFracHof(text: Column): Column = {
     val lines = nonBlankLines(text)
     when(size(lines) === 0, lit(0.0)).otherwise(
       size(filter(lines, l => {
@@ -89,8 +109,12 @@ object Heuristics {
 
   /** Fraction of words containing at least one letter (Gopher requires
     * ≥ 0.8 — filters tables of numbers, markup soup, hash dumps).
+    * Native since r6; [[alphaWordFracHof]] is the parity reference.
     */
   def alphaWordFrac(words: Column): Column =
+    graft.functions.LineShape.alpha_word_frac(words)
+
+  private[graft] def alphaWordFracHof(words: Column): Column =
     when(size(words) === 0, lit(0.0)).otherwise(
       size(filter(words, w => w.rlike("\\p{L}")))
         .cast("double") / size(words))

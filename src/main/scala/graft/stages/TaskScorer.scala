@@ -67,11 +67,44 @@ object TaskScorer extends Serializable {
 
   /** reg: regression-head weights; tasks(t)(c): class-c weights of task t.
     * Total ≈ (1 + 24 + 24 + 6) × 2^14 floats ≈ 3.6 MB — broadcast once.
+    *
+    * `flatT` is the r6 hot-path layout: the same weights BUCKET-major
+    * (row b = [reg(b), t0c0(b) … t2c5(b)], 55 floats). [[scoreDoc]]'s old
+    * head-major loops read 55 scattered 64 KiB arrays at one bucket index
+    * per gram — a cache miss per head per gram; the transposed row is a
+    * couple of cache lines read once per gram. @transient lazy: broadcast
+    * ships only reg/tasks, each executor JVM rebuilds the copy once. Per-
+    * accumulator addition order is unchanged (gram order per head), so
+    * every score/prob is bit-identical (TaskScorerSpec + the committed
+    * golden pin it).
     */
   final class Weights private[TaskScorer] (
       val reg: Array[Float],
       val tasks: Array[Array[Array[Float]]])
-    extends Serializable
+    extends Serializable {
+    @transient private[TaskScorer] lazy val width: Int =
+      1 + tasks.map(_.length).sum
+    @transient private[TaskScorer] lazy val flatT: Array[Float] = {
+      val nb = reg.length
+      val w = width
+      val out = new Array[Float](nb * w)
+      var b = 0
+      while (b < nb) {
+        var p = b * w
+        out(p) = reg(b)
+        p += 1
+        var t = 0
+        while (t < tasks.length) {
+          val cls = tasks(t)
+          var c = 0
+          while (c < cls.length) { out(p) = cls(c)(b); p += 1; c += 1 }
+          t += 1
+        }
+        b += 1
+      }
+      out
+    }
+  }
 
   /** Deterministic quantized weight vector for one head. */
   private def headWeights(salt: Long): Array[Float] = {
@@ -140,24 +173,35 @@ object TaskScorer extends Serializable {
   def scoreDoc(text: String, w: Weights): DocScores = {
     val bs = gramBuckets(text)
     val n = bs.length
-    var regSum = 0.0
+    // ONE gram pass over the bucket-major weight rows: every head's
+    // accumulator still receives its additions in gram order (double +=
+    // the identical widened float), so all 55 sums — and every score and
+    // prob derived from them — are bit-identical to the old head-major
+    // 55-passes-over-the-gram-list loop, at ~a cache line per gram
+    // instead of 55 scattered reads
+    val width = w.width
+    val flat = w.flatT
+    val acc = new Array[Double](width)
     var i = 0
-    while (i < n) { regSum += w.reg(bs(i)); i += 1 }
-    val regMean = if (n == 0) 0.0 else regSum / n
+    while (i < n) {
+      val base = bs(i) * width
+      var k = 0
+      while (k < width) { acc(k) += flat(base + k); k += 1 }
+      i += 1
+    }
+    val regMean = if (n == 0) 0.0 else acc(0) / n
     // score ∈ [0,5]: the reference regression head is trained on 0-5
     // annotation scores (`training/all_tasks_bert.py:347-348`)
     val score = 5.0 / (1.0 + math.exp(-RegGain * regMean))
+    var off = 1
     val taskProbs = w.tasks.map { classes =>
       val logits = new Array[Double](classes.length)
       var c = 0
       while (c < classes.length) {
-        val cw = classes(c)
-        var s = 0.0
-        var j = 0
-        while (j < n) { s += cw(bs(j)); j += 1 }
-        logits(c) = if (n == 0) 0.0 else ClsGain * s / n
+        logits(c) = if (n == 0) 0.0 else ClsGain * acc(off + c) / n
         c += 1
       }
+      off += classes.length
       softmax(logits)
     }
     DocScores(score, score.toInt, taskProbs)

@@ -23,6 +23,22 @@ object Det {
     h
   }
 
+  /** [[hash]] hoisted for per-(id, field) draw streams (r6 hot-path):
+    * generators drawing many [[streamInt]] values for one (id, field)
+    * re-hashed the field name per draw; hoist the base once and use
+    * [[streamIntFrom]] — identical values by construction.
+    */
+  def streamBase(seed: Long, id: Long, field: String): Long =
+    hash(seed, id, field)
+
+  /** k-th draw from a hoisted [[streamBase]] — equals
+    * `streamInt(seed, id, field, k, n)` exactly.
+    */
+  def streamIntFrom(base: Long, k: Int, n: Int): Int =
+    (java.lang.Long.remainderUnsigned(
+      mix64(base ^ (k.toLong * 0xd1b54a32d192ed03L)),
+      n.toLong)).toInt
+
   /** Uniform int in [0, n). */
   def nextInt(seed: Long, id: Long, field: String, n: Int): Int =
     (java.lang.Long.remainderUnsigned(hash(seed, id, field), n.toLong)).toInt
@@ -37,9 +53,15 @@ object Det {
       mix64(hash(seed, id, field) ^ (k.toLong * 0xd1b54a32d192ed03L)),
       n.toLong)).toInt
 
+  /** The state [[hashString]] starts from before folding any chars —
+    * shared with [[graft.stages.Grams]]'s prefix-extension hashing so the
+    * two cannot drift.
+    */
+  def hashStringSeed(salt: Long): Long = mix64(salt ^ 0x27d4eb2f165667c5L)
+
   /** xxhash-style string hash used for n-gram features (not security). */
   def hashString(s: CharSequence, from: Int, until: Int, salt: Long): Long = {
-    var h = mix64(salt ^ 0x27d4eb2f165667c5L)
+    var h = hashStringSeed(salt)
     var i = from
     while (i < until) { h = mix64(h ^ s.charAt(i).toLong); i += 1 }
     h

@@ -77,10 +77,17 @@ object SynthPages {
   }
 
   // --- text families --------------------------------------------------------
-  /** Fluent Romanian text following the committed bigram chain. */
+  /** Fluent Romanian text following the committed bigram chain. Draw-stream
+    * bases are hoisted per (id, field) — `Det.streamInt` re-hashes the
+    * field name per draw; `streamIntFrom` yields identical values (r6
+    * hot-path: generation sits inside the timed pipeline bench).
+    */
   def fluentRo(seed: Long, id: Long, nWords: Int, nLines: Int): String = {
     val sb = new StringBuilder
     var w = Det.nextInt(seed, id, "w0", V)
+    val jumpB = Det.streamBase(seed, id, "jump")
+    val succB = Det.streamBase(seed, id, "succ")
+    val uniB = Det.streamBase(seed, id, "uni")
     val perLine = math.max(1, nWords / math.max(1, nLines))
     var k = 0
     while (k < nWords) {
@@ -88,9 +95,9 @@ object SynthPages {
       sb.append(roVocab(w))
       val succ = successors(w)
       // 85% follow the chain (low ppl), 15% jump uniformly (backoff mass)
-      w = if (Det.streamInt(seed, id, "jump", k, 100) < 85)
-        succ(Det.streamInt(seed, id, "succ", k, B))
-      else Det.streamInt(seed, id, "uni", k, V)
+      w = if (Det.streamIntFrom(jumpB, k, 100) < 85)
+        succ(Det.streamIntFrom(succB, k, B))
+      else Det.streamIntFrom(uniB, k, V)
       k += 1
     }
     sb.toString
@@ -99,11 +106,12 @@ object SynthPages {
   def wordsFrom(vocab: Array[String], seed: Long, id: Long, field: String,
       nWords: Int, nLines: Int): String = {
     val sb = new StringBuilder
+    val base = Det.streamBase(seed, id, field)
     val perLine = math.max(1, nWords / math.max(1, nLines))
     var k = 0
     while (k < nWords) {
       if (k > 0) sb.append(if (k % perLine == 0) '\n' else ' ')
-      sb.append(vocab(Det.streamInt(seed, id, field, k, vocab.length)))
+      sb.append(vocab(Det.streamIntFrom(base, k, vocab.length)))
       k += 1
     }
     sb.toString
@@ -145,11 +153,13 @@ object SynthPages {
       case 5 => fluentRo(seed, id, 5 + Det.nextInt(seed, id, "slen", 15), 1)
       case 6 =>
         val sb = new StringBuilder
+        val wB = Det.streamBase(seed, id, "sym_w")
+        val sB = Det.streamBase(seed, id, "sym_s")
         var k = 0
         while (k < nWords) {
           if (k > 0) sb.append(' ')
-          sb.append(roVocab(Det.streamInt(seed, id, "sym_w", k, V)))
-          sb.append(symbols(Det.streamInt(seed, id, "sym_s", k, symbols.length)))
+          sb.append(roVocab(Det.streamIntFrom(wB, k, V)))
+          sb.append(symbols(Det.streamIntFrom(sB, k, symbols.length)))
           k += 1
         }
         sb.toString

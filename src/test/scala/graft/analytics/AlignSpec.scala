@@ -96,4 +96,44 @@ class AlignSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).sameElements(Array("a1", "a2", "a3")))
     assert(out.map(_.getString(2)).sameElements(Array("b1", "b2", "b3")))
   }
+
+  test("withGlobalRowNumberByTag ≡ per-tag withGlobalRowNumber (r6 one-pass)") {
+    import spark.implicits._
+    // 3 tags, interleaved keys, skewed tag sizes, a tag missing from some
+    // key ranges — the numbering must equal numbering each tag's slice
+    // independently
+    val df = (0 until 3000).map { i =>
+      val tag = if (i % 7 == 0) "C" else if (i % 2 == 0) "A" else "B"
+      (((i * 48271) % 65537).toLong, tag, i)
+    }.toDF("k", "tag", "v")
+    for (parts <- Seq(1, 4, 16)) {
+      val got = Align.withGlobalRowNumberByTag(df, "tag", Seq(col("k")),
+          "rn", numPartitions = parts)
+        .select("tag", "k", "rn").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = Seq("A", "B", "C").flatMap { tg =>
+        Align.withGlobalRowNumber(df.filter(col("tag") === tg),
+            Seq(col("k")), "rn", numPartitions = parts)
+          .select("k", "rn").collect()
+          .map(r => (tg, r.getLong(0)) -> r.getLong(1))
+      }.toMap
+      assert(got == want, s"tagged numbering diverges at parts=$parts")
+    }
+  }
+
+  test("withGlobalRowNumberByTag plans ONE materialized range exchange " +
+      "and a driver-manifest offsets join") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "x" else "y"))
+      .toDF("k", "tag")
+    val out = Align.withGlobalRowNumberByTag(df, "tag", Seq(col("k")), "rn",
+      numPartitions = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      "ranked side must read the one materialized range partitioning")
+    assert(!plan.contains("rangepartitioning"),
+      "numbering plan must not re-sample a range exchange")
+    assert(plan.contains("LocalTableScan"),
+      "offsets must be the driver-computed manifest")
+  }
 }
