@@ -21,12 +21,19 @@ object DerivedThresholds {
 
   private def pName(q: Double): String = f"p${math.round(q * 1000)}%d"
 
-  /** One-row DataFrame with one exact-percentile column per grid point. */
+  /** One-row DataFrame with one exact-percentile column per grid point.
+    * r6: ONE `percentile(col, array(grid))` aggregate instead of one
+    * aggregate per grid point — the exact-percentile buffer (a counts map
+    * over every distinct value) was built and merged 10× for identical
+    * contents; the array form builds it once and interpolates every grid
+    * point from the same sorted counts, so the values are identical.
+    */
   def percentileGrid(df: DataFrame, scoreCol: String,
       grid: Seq[Double]): DataFrame =
-    df.agg(
-      percentile(col(scoreCol), lit(grid.head)).as(pName(grid.head)),
-      grid.tail.map(q => percentile(col(scoreCol), lit(q)).as(pName(q))): _*)
+    df.agg(percentile(col(scoreCol), typedlit(grid)).as("_ps"))
+      .select(grid.zipWithIndex.map { case (q, i) =>
+        element_at(col("_ps"), i + 1).as(pName(q))
+      }: _*)
 
   /** Rows of `df` whose `scoreCol` clears the `pick` percentile of its own
     * distribution; the derived threshold is carried along as `threshold`.
@@ -34,8 +41,13 @@ object DerivedThresholds {
   def filterByDerivedPercentile(df: DataFrame, scoreCol: String,
       grid: Seq[Double], pick: Double): DataFrame = {
     require(grid.contains(pick), s"pick $pick must be a grid point $grid")
-    val chosen = percentileGrid(df, scoreCol, grid)
-      .select(col(pName(pick)).as("threshold"))
+    // only the picked point is aggregated — with the per-point grid the
+    // optimizer's column pruning did this implicitly (9 unused aggregates
+    // dropped under the Project); the r6 array-percentile grid is opaque
+    // to pruning, so the single-point aggregate is now explicit. Same
+    // value: one buffer, one interpolation, identical to the grid's
+    // entry for `pick`.
+    val chosen = df.agg(percentile(col(scoreCol), lit(pick)).as("threshold"))
     df.crossJoin(broadcast(chosen)).filter(col(scoreCol) >= col("threshold"))
   }
 

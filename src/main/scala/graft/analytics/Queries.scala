@@ -526,9 +526,16 @@ object Queries {
          s"round(quantile_cont(value, $q), 6) AS ${gridName(q)}")
          .mkString(",\n       ")}
        |FROM events""".stripMargin) { (s, dir) =>
-    val aggs = DerivedThresholds.ReferenceGrid.map(q =>
-      round(percentile(col("value"), lit(q)), 6).as(gridName(q)))
-    t(s, dir, "events").agg(aggs.head, aggs.tail: _*)
+    // r6: one percentile(value, array(grid)) aggregate — the former
+    // 10-aggregate spelling built 10 identical exact-percentile count
+    // buffers; the array form interpolates all 10 points from one buffer
+    // (identical doubles, DerivedThresholds.percentileGrid shape)
+    val grid = DerivedThresholds.ReferenceGrid
+    t(s, dir, "events")
+      .agg(percentile(col("value"), typedlit(grid)).as("_ps"))
+      .select(grid.zipWithIndex.map { case (q, i) =>
+        round(element_at(col("_ps"), i + 1), 6).as(gridName(q))
+      }: _*)
   }
 
   // --- A6: mean / exact median (tokenize_fineweb2.py:33-34) ----------------

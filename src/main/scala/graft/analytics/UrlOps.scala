@@ -77,12 +77,31 @@ object UrlOps {
       urlCol: String,
       tsCol: String,
       tieCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(col("_canon_url"))
-      .orderBy(col(tsCol).desc +: tieCols: _*)
-    df.withColumn("_canon_url", canonicalizeUrl(col(urlCol)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
-      .withColumnRenamed("_canon_url", "canon_url")
+    if (tieCols.isEmpty) {
+      // r6 fast path (the common "newest wins" call): a max_by aggregate
+      // replaces the window — the window shape exchanged AND per-partition
+      // sorted every row; the aggregate partial-combines map-side (co-
+      // located recrawls collapse before the shuffle) and never sorts.
+      // Survivor identical: max ts per canon_url, ties nondeterministic
+      // exactly as the un-tie-broken window was (documented above). One
+      // contract note: max_by skips null-ts rows, so a group whose EVERY
+      // ts is null yields null fields where the window kept an arbitrary
+      // row — tsCol is a crawl timestamp and non-null by contract; pass a
+      // tieCol to route such data through the window path instead.
+      val withC = df.withColumn("_canon_url", canonicalizeUrl(col(urlCol)))
+      val dataCols = withC.columns.filter(_ != "_canon_url")
+      withC.groupBy(col("_canon_url"))
+        .agg(max_by(struct(dataCols.map(col): _*), col(tsCol)).as("_row"))
+        .select(dataCols.map(c => col(s"_row.$c").as(c)) :+
+          col("_canon_url").as("canon_url"): _*)
+    } else {
+      val w = Window.partitionBy(col("_canon_url"))
+        .orderBy(col(tsCol).desc +: tieCols: _*)
+      df.withColumn("_canon_url", canonicalizeUrl(col(urlCol)))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+        .withColumnRenamed("_canon_url", "canon_url")
+    }
   }
 }
