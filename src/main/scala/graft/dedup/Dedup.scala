@@ -640,18 +640,40 @@ object Dedup {
     // prefix-token candidates materialized partitioned+sorted on the join
     // keys: the self-join's two sides read ONE exploded, once-shuffled
     // frame (≈ (1−t)·|set|+1 narrow rows per doc) instead of each
-    // re-exploding `sets` and re-exchanging on (grp, tok)
+    // re-exploding `sets` and re-exchanging on (grp, tok). `pos` is the
+    // token's 0-based position in the ORDERED set (= its posexplode index
+    // in the prefix, which is the set's head slice) — carried for the
+    // positional filter below.
     val toks = graft.analytics.Materialize.partitionedBy(
       sets.select(col("grp"), col("id"), col("sz"),
-        explode(col("prefix")).as("tok")),
+        posexplode(col("prefix")).as(Seq("pos", "tok"))),
       col("grp"), col("tok"))
     // same slack on the size-ratio bound: |B| = t·|A| exactly must survive
     val sizeOk =
       col("x.sz").cast("double") >= lit(minJaccard) * col("y.sz") - 1e-9 &&
       col("y.sz").cast("double") >= lit(minJaccard) * col("x.sz") - 1e-9
+    // PPJoin POSITIONAL filter (r6, lossless): for a shared token at
+    // 0-based positions (pA, pB), overlap(a, b) ≤ (shared strictly before
+    // it) + 1 + (tokens strictly after it in the shorter remainder)
+    //   ≤ 0 + 1 + min(szA − pA − 1, szB − pB − 1) = min(szA − pA, szB − pB)
+    // where "shared before = 0" holds for the pair's SMALLEST shared
+    // token under the common order (any earlier shared token would be a
+    // smaller one inside both prefixes — contradiction), so every true
+    // pair survives through that minimal row even when its other
+    // candidate rows are pruned. J ≥ t needs overlap ≥ t·(szA+szB)/(1+t);
+    // the 1e-9 slack again only ADMITS extra candidates, never drops one.
+    // Candidate rows failing the bound die BEFORE the distinct and the
+    // two verify joins — on zipf text the early (rare) prefix slots carry
+    // the surviving pairs and the deep slots of long sets stop generating
+    // work.
+    val posOk =
+      least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos"))
+        .cast("double") >=
+        lit(minJaccard / (1.0 + minJaccard)) * (col("x.sz") + col("y.sz")) -
+          1e-9
     val cand = toks.as("x").join(toks.as("y").hint("merge"),
         col("x.grp") === col("y.grp") && col("x.tok") === col("y.tok") &&
-          col("x.id") < col("y.id") && sizeOk)
+          col("x.id") < col("y.id") && sizeOk && posOk)
       .select(col("x.grp").as("grp"), col("x.id").as("id_a"),
         col("y.id").as("id_b"))
       .distinct()

@@ -94,6 +94,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("jaccardPrefixJoin positional filter is lossless on a randomized " +
+      "deterministic corpus at several thresholds (r6 PPJoin bound)") {
+    // 60 docs over a small shared vocab so pairwise overlaps densely
+    // sample the J spectrum, including exact-threshold pairs; compare the
+    // prefix+positional pipeline against scalar brute force at three
+    // thresholds under BOTH token orders
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      val words = (0 until 24).flatMap { k =>
+        val h = graft.synth.Det.mix64(i.toLong * 131 + k * 7)
+        if ((h & 3L) != 0L) Some(s"w${(h % 37 + 37) % 37}") else None
+      }
+      i.toLong -> words.mkString(" ")
+    }
+    val df = rows.toDF("doc_id", "text").withColumn("grp", lit("g"))
+    val sets = rows.map { case (id, tx) =>
+      id -> tx.split(" ").filter(_.nonEmpty).toSet }.toMap
+    for (t <- Seq(0.5, 0.75, 0.9); freq <- Seq(false, true)) {
+      val got = Dedup.jaccardPrefixJoin(df, "doc_id", "text", "grp", t,
+          freqOrder = freq, assumeUniqueIds = true)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= t
+      } yield (a, b)).toSet
+      assert(got == expect,
+        s"t=$t freq=$freq: missing=${expect.diff(got)} extra=${got.diff(expect)}")
+    }
+  }
+
   test("jaccardPrefixJoin freq order: duplicate-id rows merge to the token " +
       "UNION (no repeated tokens inflating sz or skewing jaccard)") {
     import spark.implicits._
