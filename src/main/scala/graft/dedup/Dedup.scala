@@ -46,12 +46,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
       .filter(col("n_dups") > 1)
 
-  /** Exact-dedup survivors: one row per distinct text (the min-id row). */
+  /** Exact-dedup survivors: one row per distinct text (the min-id row).
+    * r6: a `min_by` aggregate on the digest — the former
+    * `row_number() OVER (PARTITION BY md5 ORDER BY id)` window exchanged
+    * AND per-partition sorted every row; the aggregate partial-combines
+    * map-side (co-located duplicates collapse before the shuffle) and
+    * never sorts. Survivor identical: the min-id row per digest (the
+    * id is the total order in both shapes).
+    */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns
+    df.groupBy(md5(col(textCol)).as("__md5"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
   // ---- MinHash + LSH ----------------------------------------------------
