@@ -198,13 +198,14 @@ object Dedup {
     // (one intersection per pair; union size derived)
     val sets = sigs.select(col("id"), array_distinct(col("shingles")).as("sh"))
       .hint("merge")
-    val inter2 = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      // r6: native one-pass set jaccard (sorted-probe) — bit-identical to
+      // the size(array_intersect)/(|A|+|B|-i) algebra it replaces
+      // (integer counts; JaccardParitySpec), no per-pair hash-set build
       .withColumn("jaccard",
-        inter2.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter2))
+        graft.functions.ArrayMath.jaccard_sets(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -338,15 +339,13 @@ object Dedup {
           shingle_hashes(normTokens(col("__text")), shingleN)).as("sh"))
         .filter(size(col("sh")) > 0))
       .hint("merge")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     hits
       .join(sets.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
-        inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter))
+        graft.functions.ArrayMath.jaccard_sets(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -528,12 +527,12 @@ object Dedup {
         lit(minJaccard) * size(col("y.sh")) - 1e-9 &&
       size(col("y.sh")).cast("double") >=
         lit(minJaccard) * size(col("x.sh")) - 1e-9
-    // |A∪B| = |A| + |B| − |A∩B| for distinct sets: one intersection, no union
-    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+    // |A∪B| = |A| + |B| − |A∩B| for distinct sets: one intersection, no
+    // union — the native sorted-probe jaccard (r6) computes it in one pass
     sets.as("x").join(sets.as("y").hint("merge"),
         col("x.grp") === col("y.grp") && col("x.id") < col("y.id") && sizeOk)
       .withColumn("jaccard",
-        inter.cast("double") / (size(col("x.sh")) + size(col("y.sh")) - inter))
+        graft.functions.ArrayMath.jaccard_sets(col("x.sh"), col("y.sh")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("x.grp").as("grp"), col("x.id").as("id_a"),
         col("y.id").as("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -686,15 +685,13 @@ object Dedup {
       .distinct()
     // verify joins on (grp, id): ids may repeat across groups
     val verify = sets.select(col("grp"), col("id"), col("sh")).hint("merge")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     cand
       .join(verify.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), Seq("grp", "id_a"))
       .join(verify.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sh", "sh_b"), Seq("grp", "id_b"))
       .withColumn("jaccard",
-        inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter))
+        graft.functions.ArrayMath.jaccard_sets(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("grp"), col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
@@ -741,15 +738,13 @@ object Dedup {
       .distinct()
     // verify joins on (grp, id): ids may repeat across groups
     val sets = sigs.select(col("grp"), col("id"), col("sh")).hint("merge")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
       .join(sets.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), Seq("grp", "id_a"))
       .join(sets.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sh", "sh_b"), Seq("grp", "id_b"))
       .withColumn("jaccard",
-        inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter))
+        graft.functions.ArrayMath.jaccard_sets(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("grp"), col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jaccard"))

@@ -120,6 +120,80 @@ object ArrayMath {
     new GenericArrayData(out)
   }
 
+  /** Exact Jaccard of two DISTINCT-element set arrays (the dedup verify
+    * contract — every call site applies `array_distinct`/the shingle-set
+    * builders): ≡ `size(array_intersect(a, b)).cast("double") /
+    * (size(a) + size(b) − size(array_intersect(a, b)))` — integer counts,
+    * so the double is bit-identical. One clone+sort of the SMALLER array
+    * + a binary search per element of the larger; no boxed hash set, no
+    * per-row OpenHashSet allocation. Null elements count as one shared
+    * value when present in BOTH (array_intersect's semantics). Duplicate
+    * elements are caller contract-violations (as they are for the size
+    * algebra this replaces, whose |A∪B| identity also needs sets).
+    */
+  def jaccard_sets(a: Column, b: Column): Column =
+    ColumnShim.column(
+      JaccardSetsExpr(ColumnShim.expr(a), ColumnShim.expr(b)))
+
+  def jaccardLongSets(a: ArrayData, b: ArrayData): Double = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    val (s, g) = if (na <= nb) (a, b) else (b, a)
+    val ns = s.numElements()
+    val ng = g.numElements()
+    val sv = new Array[Long](ns)
+    var sNull = false
+    var m = 0
+    var i = 0
+    while (i < ns) {
+      if (s.isNullAt(i)) sNull = true
+      else { sv(m) = s.getLong(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(sv, 0, m)
+    var hits = 0
+    i = 0
+    var gNull = false
+    while (i < ng) {
+      if (g.isNullAt(i)) gNull = true
+      else if (java.util.Arrays.binarySearch(sv, 0, m, g.getLong(i)) >= 0)
+        hits += 1
+      i += 1
+    }
+    if (sNull && gNull) hits += 1
+    hits.toDouble / (na + nb - hits)
+  }
+
+  def jaccardStringSets(a: ArrayData, b: ArrayData): Double = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    val (s, g) = if (na <= nb) (a, b) else (b, a)
+    val ns = s.numElements()
+    val ng = g.numElements()
+    val sv = new Array[UTF8String](ns)
+    var sNull = false
+    var m = 0
+    var i = 0
+    while (i < ns) {
+      if (s.isNullAt(i)) sNull = true
+      else { sv(m) = s.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(sv, 0, m,
+      (x: UTF8String, y: UTF8String) => x.compareTo(y))
+    var hits = 0
+    i = 0
+    var gNull = false
+    while (i < ng) {
+      if (g.isNullAt(i)) gNull = true
+      else if (java.util.Arrays.binarySearch(
+          sv.asInstanceOf[Array[AnyRef]], 0, m, g.getUTF8String(i),
+          null) >= 0)
+        hits += 1
+      i += 1
+    }
+    if (sNull && gNull) hits += 1
+    hits.toDouble / (na + nb - hits)
+  }
+
   private val XxSeed = 42L // spark.sql.functions.xxhash64's fixed seed
 
   /** xxhash64(token) exactly as Spark computes it for a StringType input. */
@@ -156,6 +230,46 @@ object ArrayMath {
     while (i < n) { out(i) = ts(idx(i).intValue()); i += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** Exact Jaccard over two distinct-element set arrays (long or string
+  * elements — the shingle-hash and token-set verify shapes). Null when
+  * either side is null (standard null-intolerant binary expression).
+  * Two EMPTY sets yield NaN where the ANSI size algebra would have
+  * thrown DIVIDE_BY_ZERO — unreachable at every call site (sets are
+  * filtered `size > 0` before any pairing), and total-never-throws is
+  * the safer contract for the unreachable case.
+  */
+case class JaccardSetsExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sets requires two array<long> or two array<string>, " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (elemType == LongType) ArrayMath.jaccardLongSets(x, y)
+    else ArrayMath.jaccardStringSets(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (elemType == LongType) "jaccardLongSets" else "jaccardStringSets"
+    defineCodeGen(ctx, ev,
+      (c1, c2) => s"graft.functions.ArrayMath.$fn($c1, $c2)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JaccardSetsExpr = copy(l, r)
+  override def prettyName: String = "jaccard_sets"
 }
 
 case class SoftmaxArrExpr(child: Expression) extends UnaryExpression {

@@ -117,6 +117,46 @@ class ArrayMathParitySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard_sets ≡ size(array_intersect)/(|A|+|B|-i) algebra, " +
+      "bit-identical, long and string elements") {
+    import spark.implicits._
+    // distinct-element sets with varied overlap, incl. empty and 1-elem
+    val longs: Seq[(Seq[Long], Seq[Long])] = (0 until 100).map { i =>
+      def set(salt: Long, n: Int) = (0 until n)
+        .map(k => graft.synth.Det.mix64(salt * 31 + k) % 40).distinct
+        .map(identity)
+      (set(i, 3 + i % 20), set(i + 7, 3 + (i * 3) % 20))
+    } ++ Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(5L), Seq(5L)))
+    // NOT tested: (empty, empty) — the ANSI algebra THROWS on its 0/0
+    // while the native returns NaN; both-empty pairs are unreachable in
+    // every call site (sets are filtered size > 0 before pairing), and a
+    // total function is the safer behavior for the unreachable case —
+    // divergence documented on JaccardSetsExpr.
+    val ldf = longs.toDF("a", "b")
+    val algebra = {
+      val i = size(array_intersect(col("a"), col("b")))
+      i.cast("double") / (size(col("a")) + size(col("b")) - i)
+    }
+    ldf.select(ArrayMath.jaccard_sets(col("a"), col("b")).as("n"),
+        algebra.as("h")).collect().zipWithIndex.foreach { case (r, i) =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"long row $i: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    val strs: Seq[(Seq[String], Seq[String])] = (0 until 60).map { i =>
+      def set(salt: Int, n: Int) = (0 until n)
+        .map(k => s"t${(salt * 31 + k * 7) % 25}").distinct
+      (set(i, 2 + i % 15), set(i + 3, 2 + (i * 5) % 15))
+    } ++ Seq((Seq("ș", "ana"), Seq("ana", "x")), (Seq("dup"), Seq("dup")))
+    val sdf = strs.toDF("a", "b")
+    sdf.select(ArrayMath.jaccard_sets(col("a"), col("b")).as("n"),
+        algebra.as("h")).collect().zipWithIndex.foreach { case (r, i) =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"str row $i: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("xx64 equals Spark's xxhash64 on strings") {
     import spark.implicits._
     val words = Seq("", "a", "ana", "țară", "🙂", "x" * 100)
