@@ -147,7 +147,10 @@ class ArrayMathParitySpec extends AnyFunSuite {
       def set(salt: Int, n: Int) = (0 until n)
         .map(k => s"t${(salt * 31 + k * 7) % 25}").distinct
       (set(i, 2 + i % 15), set(i + 3, 2 + (i * 5) % 15))
-    } ++ Seq((Seq("ș", "ana"), Seq("ana", "x")), (Seq("dup"), Seq("dup")))
+    } ++ Seq((Seq("ș", "ana"), Seq("ana", "x")), (Seq("dup"), Seq("dup")),
+      // null elements: shared only when present on BOTH sides
+      // (array_intersect semantics — pins the hash probe's null flags)
+      (Seq("a", null), Seq(null, "b")), (Seq("a", null), Seq("a", "b")))
     val sdf = strs.toDF("a", "b")
     sdf.select(ArrayMath.jaccard_sets(col("a"), col("b")).as("n"),
         algebra.as("h")).collect().zipWithIndex.foreach { case (r, i) =>
